@@ -1,0 +1,80 @@
+"""CKKS encoding/decoding: slots <-> RNS coefficient planes (host side).
+
+Replaces seal::CKKSEncoder (used by reference runtime encode_internal,
+lib/Runtime/SEAL_HEVM.cpp:256-267). The canonical-embedding FFT runs in
+numpy complex128 on the host; only integer RNS planes ever reach the device.
+
+Slot mapping: slot j <-> evaluation point ζ^{5^j mod 2N} (ζ = e^{iπ/N}),
+conjugate pair at ζ^{-5^j}. With k = 2r+1, m(ζ^k) = N·ifft(c·ψ_t)[r] where
+ψ_t = e^{iπt/N}; so encode is conj-symmetric placement + fft + untwist.
+"""
+
+import numpy as np
+
+
+class Encoder:
+    def __init__(self, ctx):
+        self.ctx = ctx
+        n = ctx.n
+        self.n = n
+        self.n_slots = n // 2
+        t = np.arange(n)
+        self.twist = np.exp(1j * np.pi * t / n)         # e^{iπt/N}
+        # slot j -> DFT bin r_j = (5^j - 1)/2 mod N ; conj bin for -5^j
+        exps = np.empty(self.n_slots, dtype=np.int64)
+        g = 1
+        for j in range(self.n_slots):
+            exps[j] = g
+            g = (g * 5) % (2 * n)
+        self.slot_bins = ((exps - 1) // 2) % n
+        self.conj_bins = ((2 * n - exps - 1) // 2) % n
+
+    # ----------------------------------------------------------- encode
+    def coeffs_from_values(self, values: np.ndarray, scale: float) -> np.ndarray:
+        """Real slot values (len <= n_slots; cyclically replicated like the
+        reference encode_internal) -> integer coefficient vector (int64)."""
+        v = np.asarray(values, dtype=np.float64).ravel()
+        full = v[np.arange(self.n_slots) % len(v)]
+        spec = np.zeros(self.n, dtype=np.complex128)
+        spec[self.slot_bins] = full
+        spec[self.conj_bins] += np.conj(full)           # += handles n=2 overlap
+        d = np.fft.fft(spec) / self.n
+        coeffs = np.real(d * np.conj(self.twist)) * scale
+        m = np.abs(coeffs).max() if coeffs.size else 0.0
+        assert m < 2 ** 62, "encoding overflow: scale too large for int64 coeffs"
+        return np.round(coeffs).astype(np.int64)
+
+    def encode(self, values, scale: float, nl: int) -> np.ndarray:
+        """-> uint32 [nl, N] coefficient-domain RNS planes (caller NTTs)."""
+        coeffs = self.coeffs_from_values(values, scale)
+        out = np.empty((nl, self.n), dtype=np.uint32)
+        for i in range(nl):
+            out[i] = np.mod(coeffs, self.ctx.q_primes[i]).astype(np.uint32)
+        return out
+
+    # ----------------------------------------------------------- decode
+    def values_from_coeffs(self, coeffs_float: np.ndarray, scale: float) -> np.ndarray:
+        d = coeffs_float / scale * self.twist
+        spec = self.n * np.fft.ifft(d)
+        return np.real(spec[self.slot_bins])
+
+    def decode(self, planes: np.ndarray, scale: float) -> np.ndarray:
+        """uint32 [nl, N] coefficient-domain planes -> real slot values."""
+        coeffs = self.crt_lift(planes)
+        return self.values_from_coeffs(coeffs, scale)
+
+    def crt_lift(self, planes: np.ndarray) -> np.ndarray:
+        """CRT-recombine residues to centered big ints, return as float64."""
+        nl = planes.shape[0]
+        primes = self.ctx.q_primes[:nl]
+        bigq = 1
+        for q in primes:
+            bigq *= q
+        acc = np.zeros(self.n, dtype=object)
+        for i, q in enumerate(primes):
+            qh = bigq // q
+            c = qh * pow(qh % q, -1, q)
+            acc += planes[i].astype(object) * c
+        acc %= bigq
+        centered = np.where(acc > bigq // 2, acc - bigq, acc)
+        return np.array([float(x) for x in centered], dtype=np.float64)

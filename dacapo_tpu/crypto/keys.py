@@ -1,0 +1,141 @@
+"""Key generation: secret/public/relinearization/Galois keys.
+
+TPU-native replacement for the reference's `create_context` keyset generation
+(lib/Runtime/SEAL_HEVM.cpp:44-89). Sampling happens host-side (numpy RNG);
+the NTTs run through the same device kernels used at runtime. Keys can be
+persisted to an on-disk keyset directory like the reference's ~/.hevm/seal.
+"""
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@dataclass
+class KeySet:
+    s_ntt: object                    # uint32 [num_all, N]  (secret; server-side tests only)
+    pk: object                       # uint32 [2, num_q, N] (b, a)
+    rlk: object                      # uint32 [dnum, 2, num_all, N]
+    galois: dict = field(default_factory=dict)   # steps -> uint32 [dnum, 2, num_all, N]
+
+
+def _residues(coeffs: np.ndarray, primes) -> np.ndarray:
+    """Signed int64 coeffs -> uint32 RNS planes [len(primes), N]."""
+    out = np.empty((len(primes), coeffs.shape[-1]), dtype=np.uint32)
+    for i, q in enumerate(primes):
+        out[i] = np.mod(coeffs, q).astype(np.uint32)
+    return out
+
+
+class KeyGenerator:
+    def __init__(self, ctx, evaluator, seed=None):
+        self.ctx = ctx
+        self.ev = evaluator
+        self.rng = np.random.default_rng(ctx.config.seed if seed is None else seed)
+
+    # ------------------------------------------------------------- samples
+    def _ternary(self):
+        return self.rng.integers(-1, 2, size=self.ctx.n).astype(np.int64)
+
+    def _gauss(self):
+        return np.round(self.rng.normal(0.0, 3.2, size=self.ctx.n)).astype(np.int64)
+
+    def _uniform_planes(self, rows):
+        qs = np.array([self.ctx.primes[r] for r in rows], dtype=np.uint64)
+        u = self.rng.integers(0, qs[:, None], size=(len(rows), self.ctx.n))
+        return u.astype(np.uint32)
+
+    def _ntt_planes(self, coeffs: np.ndarray, rows):
+        planes = _residues(coeffs, [self.ctx.primes[r] for r in rows])
+        return self.ev.ntt(jnp.asarray(planes), rows)
+
+    # ------------------------------------------------------------- keygen
+    def generate(self, rot_steps=()) -> KeySet:
+        ctx = self.ctx
+        cfg = ctx.config
+        all_rows = list(range(cfg.num_all))
+        q_rows = list(range(cfg.num_q))
+
+        s_coeff = self._ternary()
+        s_ntt = self._ntt_planes(s_coeff, all_rows)
+
+        # public key over Q
+        a = jnp.asarray(self._uniform_planes(q_rows))
+        e = self._ntt_planes(self._gauss(), q_rows)
+        qq = self.ev._mm_consts(q_rows)
+        from .modmath import mul_mod, sub_mod, add_mod
+        b = add_mod(sub_mod(jnp.zeros_like(a), mul_mod(a, s_ntt[: cfg.num_q], *qq), qq[0]), e, qq[0])
+        pk = jnp.stack([b, a])
+
+        # relinearization key: target s^2
+        s2 = mul_mod(s_ntt, s_ntt, *self.ev._mm_consts(all_rows))
+        rlk = self._ksk(s_ntt, s2)
+
+        galois = {}
+        for st in rot_steps:
+            perm = ctx.rot_perm(st)
+            s_rot = s_ntt[:, jnp.asarray(perm, dtype=jnp.int32)]
+            galois[st % (ctx.n // 2)] = self._ksk(s_ntt, s_rot)
+
+        return KeySet(s_ntt=s_ntt, pk=pk, rlk=rlk, galois=galois)
+
+    def extend_galois(self, keyset: KeySet, rot_steps):
+        """Generate any missing galois keys for the given rotation steps."""
+        for st in rot_steps:
+            st = st % (self.ctx.n // 2)
+            if st not in keyset.galois and st != 0:
+                perm = self.ctx.rot_perm(st)
+                s_rot = keyset.s_ntt[:, jnp.asarray(perm, dtype=jnp.int32)]
+                keyset.galois[st] = self._ksk(keyset.s_ntt, s_rot)
+        return keyset
+
+    def _ksk(self, s_ntt, target_ntt):
+        """Key-switch key from key `target` to key `s`:
+        ksk_j = (-a_j s + e_j + [P*Q̂_j^{full}]*target, a_j) over the full QP basis."""
+        from .modmath import mul_mod, sub_mod, add_mod
+        ctx = self.ctx
+        cfg = ctx.config
+        all_rows = list(range(cfg.num_all))
+        qq = self.ev._mm_consts(all_rows)
+        digits = []
+        for j in range(cfg.dnum):
+            rows_j = list(range(j * cfg.alpha, min((j + 1) * cfg.alpha, cfg.num_q)))
+            qj = 1
+            for r in rows_j:
+                qj *= ctx.q_primes[r]
+            factor_int = ctx.p_prod * (ctx.q_full // qj)
+            fac = np.array([factor_int % p for p in ctx.primes], dtype=np.uint32)
+            a_j = jnp.asarray(self._uniform_planes(all_rows))
+            e_j = self._ntt_planes(self._gauss(), all_rows)
+            msg = mul_mod(jnp.asarray(fac)[:, None] * jnp.uint32(1), target_ntt, *qq)
+            b_j = add_mod(
+                add_mod(sub_mod(jnp.zeros_like(a_j), mul_mod(a_j, s_ntt, *qq), qq[0]), e_j, qq[0]),
+                msg, qq[0],
+            )
+            digits.append(jnp.stack([b_j, a_j]))
+        return jnp.stack(digits)
+
+
+def save_keyset(keyset: KeySet, dirpath: str):
+    os.makedirs(dirpath, exist_ok=True)
+    np.save(os.path.join(dirpath, "s_ntt.npy"), np.asarray(keyset.s_ntt))
+    np.save(os.path.join(dirpath, "pk.npy"), np.asarray(keyset.pk))
+    np.save(os.path.join(dirpath, "rlk.npy"), np.asarray(keyset.rlk))
+    os.makedirs(os.path.join(dirpath, "galois"), exist_ok=True)
+    for st, gk in keyset.galois.items():
+        np.save(os.path.join(dirpath, "galois", f"{st}.npy"), np.asarray(gk))
+
+
+def load_keyset(dirpath: str) -> KeySet:
+    ks = KeySet(
+        s_ntt=jnp.asarray(np.load(os.path.join(dirpath, "s_ntt.npy"))),
+        pk=jnp.asarray(np.load(os.path.join(dirpath, "pk.npy"))),
+        rlk=jnp.asarray(np.load(os.path.join(dirpath, "rlk.npy"))),
+    )
+    gdir = os.path.join(dirpath, "galois")
+    if os.path.isdir(gdir):
+        for f in os.listdir(gdir):
+            ks.galois[int(f[:-4])] = jnp.asarray(np.load(os.path.join(gdir, f)))
+    return ks

@@ -1,0 +1,302 @@
+"""Device-side CKKS evaluator primitives over RNS limb planes.
+
+This is the TPU-native replacement for the seal::Evaluator /HEaaN evaluator
+calls issued by the reference bytecode VM (lib/Runtime/SEAL_HEVM.cpp:268-334).
+Every function is pure, shape-static, and jit-traceable; metadata (level,
+scale) is compile-time and handled by the caller (vm/executor.py tracks it the
+way SEAL tracks ciphertext.scale()).
+
+Ciphertext polys: uint32 [2, nl, N] in NTT domain, rows = Q primes 0..nl-1.
+Plaintext:        uint32 [nl, N] in NTT domain.
+Key-switch keys:  uint32 [dnum, 2, num_all, N] (NTT domain, full QP basis).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .modmath import (
+    add_mod, sub_mod, neg_mod, mul_mod, mul_mod_shoup,
+)
+from .ntt import ntt_fwd, ntt_inv
+
+
+def _c(x):
+    """Host uint32 scalar/array -> jnp constant."""
+    return jnp.asarray(x, dtype=jnp.uint32)
+
+
+class Evaluator:
+    """Stateless op library bound to one CKKSContext (tables as closures).
+
+    Methods are jit-cached per static signature (rows tuple / level / offset),
+    so eager use (tests, keygen) compiles each op once as a fused XLA unit;
+    whole-program jit (vm/executor.py) simply inlines them.
+    """
+
+    def __init__(self, ctx):
+        self.ctx = ctx
+        self.dev = ctx.dev
+        self.n = ctx.n
+        self._tab_cache = {}
+        self._fn_cache = {}
+
+    def _jit(self, key, make_fn):
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            fn = jax.jit(make_fn())
+            self._fn_cache[key] = fn
+        return fn
+
+    # ------------------------------------------------------------- tables
+    def _tabs(self, rows, names):
+        key = (tuple(rows), names)
+        out = self._tab_cache.get(key)
+        if out is None:
+            # Cache HOST numpy slices: always safe to close over (they embed
+            # as constants per trace), never tracers from an enclosing jit.
+            idx = np.asarray(rows, dtype=np.int32)
+            host = self.ctx.host_tables
+            scalars = ("q", "qinv_neg", "rconst", "rconst_shoup", "ninv", "ninv_shoup")
+            out = tuple(
+                np.ascontiguousarray(host[n][idx][:, None] if n in scalars else host[n][idx])
+                for n in names
+            )
+            self._tab_cache[key] = out
+        return out
+
+    def _rows(self, rows):
+        return self._tabs(tuple(rows), ("tw", "tw_shoup", "itw", "itw_shoup", "q", "ninv", "ninv_shoup"))
+
+    def _q(self, rows):
+        return self._tabs(tuple(rows), ("q",))[0]
+
+    def _mm_consts(self, rows):
+        return self._tabs(tuple(rows), ("q", "qinv_neg", "rconst", "rconst_shoup"))
+
+    # ---------------------------------------------------------------- NTT
+    def ntt(self, x, rows):
+        rows = tuple(rows)
+        tw, tws, _, _, q, _, _ = self._rows(rows)
+        return self._jit(("ntt", rows, x.shape), lambda: lambda y: ntt_fwd(y, tw, tws, q))(x)
+
+    def intt(self, x, rows):
+        rows = tuple(rows)
+        _, _, itw, itws, q, ninv, ninvs = self._rows(rows)
+        return self._jit(
+            ("intt", rows, x.shape), lambda: lambda y: ntt_inv(y, itw, itws, q, ninv, ninvs)
+        )(x)
+
+    # ---------------------------------------------------- pointwise basics
+    def add_ct(self, a, b, nl):
+        q = self._q(range(nl))
+        return self._jit(("add_ct", nl), lambda: lambda x, y: add_mod(x, y, q))(a, b)
+
+    def sub_ct(self, a, b, nl):
+        q = self._q(range(nl))
+        return self._jit(("sub_ct", nl), lambda: lambda x, y: sub_mod(x, y, q))(a, b)
+
+    def neg_ct(self, a, nl):
+        q = self._q(range(nl))
+        return self._jit(("neg_ct", nl), lambda: lambda x: neg_mod(x, q))(a)
+
+    def add_pt(self, ct, pt, nl):
+        q = self._q(range(nl))
+        return self._jit(
+            ("add_pt", nl), lambda: lambda c, p: c.at[0].set(add_mod(c[0], p, q))
+        )(ct, pt)
+
+    def mul_pt(self, ct, pt, nl):
+        qq = self._mm_consts(range(nl))
+        return self._jit(
+            ("mul_pt", nl),
+            lambda: lambda c, p: jnp.stack([mul_mod(c[0], p, *qq), mul_mod(c[1], p, *qq)]),
+        )(ct, pt)
+
+    def mul_pt_scalar(self, ct, consts, consts_shoup, nl):
+        """Multiply by a per-row scalar constant (e.g. native upscale by 2^k).
+
+        consts: host uint32 [nl] (value mod q_i), with shoup companions.
+        """
+        c = _c(consts)[:, None]
+        cs = _c(consts_shoup)[:, None]
+        q = self._q(range(nl))
+        return mul_mod_shoup(ct, c, cs, q)
+
+    def upscale(self, ct, nl, up_bits: int):
+        from .modmath import host_shoup
+        vals = [pow(2, up_bits, q) for q in self.ctx.q_primes[:nl]]
+        sh = [host_shoup(v, q) for v, q in zip(vals, self.ctx.q_primes[:nl])]
+        c = _c(np.array(vals, np.uint32))[:, None]
+        cs = _c(np.array(sh, np.uint32))[:, None]
+        q = self._q(range(nl))
+        return self._jit(
+            ("upscale", nl, up_bits), lambda: lambda x: mul_mod_shoup(x, c, cs, q)
+        )(ct)
+
+    def mod_drop(self, ct, k: int):
+        """modswitch by k levels = drop the top k RNS rows (SEAL semantics)."""
+        return ct[:, : ct.shape[1] - k, :]
+
+    # -------------------------------------------------------------- rescale
+    def rescale(self, ct, nl):
+        return self._jit(("rescale", nl), lambda: lambda x: self._rescale(x, nl))(ct)
+
+    def _rescale(self, ct, nl):
+        """Divide by the top prime q_{nl-1}: exact RNS rescale with centered lift."""
+        lc = self.ctx.level(nl)
+        rows_lo = list(range(nl - 1))
+        top = ct[:, nl - 1, :]                      # [2, N] NTT domain
+        top_c = self.intt(top, [nl - 1] * 2)        # both polys, same prime row
+        # centered lift: v' = v or v - q_top; residue mod q_i: v or v + (q_i - q_top)
+        half = jnp.uint32(lc.rs_half)
+        diff = _c(lc.rs_diff)[None, :, None]        # [1, nl-1, 1]
+        v = top_c[:, None, :]                       # [2, 1, N]
+        lifted = jnp.where(v > half, v + diff, v)   # [2, nl-1, N]
+        conv = self.ntt(lifted.reshape(2 * (nl - 1), self.n), rows_lo + rows_lo)
+        conv = conv.reshape(2, nl - 1, self.n)
+        q = self._q(rows_lo)
+        num = sub_mod(ct[:, : nl - 1, :], conv, q)
+        inv = _c(lc.rs_inv)[:, None]
+        invs = _c(lc.rs_inv_shoup)[:, None]
+        return mul_mod_shoup(num, inv, invs, q)
+
+    # ---------------------------------------------------------- keyswitch
+    def keyswitch(self, c_ntt, nl, ksk):
+        return self._jit(
+            ("keyswitch", nl), lambda: lambda c, k: self._keyswitch(c, nl, k)
+        )(c_ntt, ksk)
+
+    def _keyswitch(self, c_ntt, nl, ksk):
+        """Switch the key under poly `c_ntt` (uint32 [nl, N], NTT domain).
+
+        Returns (b_add, a_add): uint32 [nl, N] each, to be added to (c0, 0) or
+        (c0, c1') depending on the operation (relin vs rotate).
+        Hybrid GHS/RNS key-switching with approximate ModUp (see params.py).
+        """
+        ctx = self.ctx
+        lc = ctx.level(nl)
+        alpha = ctx.config.alpha
+        sp_rows = [ctx.config.num_q + i for i in range(alpha)]
+        qp_rows = list(range(nl)) + sp_rows
+        n = self.n
+
+        c_coeff = self.intt(c_ntt, range(nl))
+
+        acc0 = None
+        acc1 = None
+        for j, g in enumerate(lc.groups):
+            own = g.rows
+            # coeff-domain digit residues for base conversion
+            u = mul_mod_shoup(
+                c_coeff[np.asarray(own)],
+                _c(g.t_coef)[:, None], _c(g.t_coef_shoup)[:, None],
+                self._q(own),
+            )
+            # extend to target rows: out[t] = sum_g u[g] * M[g, t]
+            tq = self._q(g.targets)
+            ext = None
+            for gi in range(len(own)):
+                term = mul_mod_shoup(
+                    u[gi][None, :], _c(g.m[gi])[:, None], _c(g.m_shoup[gi])[:, None], tq
+                )
+                ext = term if ext is None else add_mod(ext, term, tq)
+            ext = self.ntt(ext, g.targets)
+            # own planes stay in NTT domain, scaled by S
+            own_planes = mul_mod_shoup(
+                c_ntt[np.asarray(own)],
+                _c(g.s_ntt)[:, None], _c(g.s_ntt_shoup)[:, None],
+                self._q(own),
+            )
+            # assemble digit planes in qp_rows order
+            planes = {}
+            for i, r in enumerate(own):
+                planes[r] = own_planes[i]
+            for i, r in enumerate(g.targets):
+                planes[r] = ext[i]
+            digit = jnp.stack([planes[r] for r in qp_rows])
+
+            kq = self._mm_consts(qp_rows)
+            idx = np.asarray(qp_rows)
+            t0 = mul_mod(digit, ksk[j, 0][idx], *kq)
+            t1 = mul_mod(digit, ksk[j, 1][idx], *kq)
+            if acc0 is None:
+                acc0, acc1 = t0, t1
+            else:
+                qfull = kq[0]
+                acc0 = add_mod(acc0, t0, qfull)
+                acc1 = add_mod(acc1, t1, qfull)
+
+        return (
+            self._mod_down(acc0, nl, lc, sp_rows),
+            self._mod_down(acc1, nl, lc, sp_rows),
+        )
+
+    def _mod_down(self, x_qp, nl, lc, sp_rows):
+        """(x - [x]_P)/P : QP -> Q^{(nl)} (approximate conversion of [x]_P)."""
+        alpha = self.ctx.config.alpha
+        xq = x_qp[:nl]
+        xp = x_qp[nl:]
+        xp_c = self.intt(xp, sp_rows)
+        u = mul_mod_shoup(
+            xp_c, _c(lc.md_t)[:, None], _c(lc.md_t_shoup)[:, None], self._q(sp_rows)
+        )
+        q = self._q(range(nl))
+        conv = None
+        for gi in range(alpha):
+            term = mul_mod_shoup(
+                u[gi][None, :], _c(lc.md_m[gi])[:, None], _c(lc.md_m_shoup[gi])[:, None], q
+            )
+            conv = term if conv is None else add_mod(conv, term, q)
+        conv = self.ntt(conv, range(nl))
+        num = sub_mod(xq, conv, q)
+        return mul_mod_shoup(num, _c(lc.pinv)[:, None], _c(lc.pinv_shoup)[:, None], q)
+
+    # ------------------------------------------------------------ mul / rot
+    def mul_ct(self, a, b, nl, rlk):
+        return self._jit(
+            ("mul_ct", nl), lambda: lambda x, y, k: self._mul_ct(x, y, nl, k)
+        )(a, b, rlk)
+
+    def _mul_ct(self, a, b, nl, rlk):
+        """ct*ct multiply + relinearization."""
+        qq = self._mm_consts(range(nl))
+        q = qq[0]
+        d0 = mul_mod(a[0], b[0], *qq)
+        d1 = add_mod(mul_mod(a[0], b[1], *qq), mul_mod(a[1], b[0], *qq), q)
+        d2 = mul_mod(a[1], b[1], *qq)
+        ks0, ks1 = self._keyswitch(d2, nl, rlk)
+        return jnp.stack([add_mod(d0, ks0, q), add_mod(d1, ks1, q)])
+
+    def square_ct(self, a, nl, rlk):
+        return self._jit(
+            ("square_ct", nl), lambda: lambda x, k: self._square_ct(x, nl, k)
+        )(a, rlk)
+
+    def _square_ct(self, a, nl, rlk):
+        qq = self._mm_consts(range(nl))
+        q = qq[0]
+        d0 = mul_mod(a[0], a[0], *qq)
+        d1 = mul_mod(a[0], a[1], *qq)
+        d1 = add_mod(d1, d1, q)
+        d2 = mul_mod(a[1], a[1], *qq)
+        ks0, ks1 = self._keyswitch(d2, nl, rlk)
+        return jnp.stack([add_mod(d0, ks0, q), add_mod(d1, ks1, q)])
+
+    def automorphism(self, planes, perm):
+        """Apply slot permutation (Galois automorphism in NTT domain)."""
+        return planes[..., jnp.asarray(perm, dtype=jnp.int32)]
+
+    def rotate(self, ct, nl, steps: int, gk):
+        """Left-rotate slots by `steps` using the galois key for that step."""
+        return self._jit(
+            ("rotate", nl, steps), lambda: lambda c, k: self._rotate(c, nl, steps, k)
+        )(ct, gk)
+
+    def _rotate(self, ct, nl, steps, gk):
+        perm = self.ctx.rot_perm(steps)
+        c0p = self.automorphism(ct[0], perm)
+        c1p = self.automorphism(ct[1], perm)
+        ks0, ks1 = self._keyswitch(c1p, nl, gk)
+        q = self._q(range(nl))
+        return jnp.stack([add_mod(c0p, ks0, q), ks1])

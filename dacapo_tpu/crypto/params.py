@@ -1,0 +1,344 @@
+"""CKKS context: parameter profiles and precomputed RNS tables.
+
+The reference delegates all of this to SEAL/HEaaN (`create_context`,
+lib/Runtime/SEAL_HEVM.cpp:44-89). Here we own it: primes, NTT twiddle tables,
+hybrid key-switching decomposition constants, rescale/moddown constants, and
+Galois/slot permutation tables — all precomputed host-side with python ints and
+shipped to the device as uint32 planes.
+
+Layout conventions
+------------------
+* RNS planes: uint32 [num_rows, N]; rows 0..num_q-1 are the Q chain (descending
+  prime size, so row num_q-1 is dropped first by rescale), rows num_q.. are the
+  `alpha` special primes P used only inside key-switching.
+* A ciphertext "nl" = number of active Q rows (hevm level = nl-1).
+* Everything on device lives permanently in NTT (evaluation) representation;
+  key-switch / rescale dip into coefficient representation internally.
+
+Hybrid key-switching (dnum digits, alpha special primes):
+  evk_j encrypts  P * Q̂_j^{full} * key  (Q̂_j^{full} = Q_full / Q_j_full), and
+  at level nl the digit for group j is corrected per-residue so that
+  Σ_j D_j * Q̂_j^{full} ≡ c (mod Q^{(nl)}):  D_j ≡ c_g * (Q̂_j^{full})^{-1} (mod q_g).
+  Digits are lifted with approximate (no flooring-correction) base conversion;
+  the extra multiples of the group modulus vanish mod PQ and only add O(e)
+  noise after ModDown.
+"""
+
+from dataclasses import dataclass, field
+from functools import cached_property
+
+import numpy as np
+
+from .primes import gen_ntt_primes, primitive_root_2n, bit_reverse
+from .modmath import host_shoup, host_qinv_neg
+
+
+@dataclass(frozen=True)
+class CKKSConfig:
+    """Static CKKS parameter set (a "profile" in reference terms)."""
+
+    n: int = 1 << 15              # ring degree N (slots = N/2)
+    num_q: int = 14               # ciphertext prime chain length (levels 0..num_q-1)
+    alpha: int = 7                # special primes / digit width for key-switching
+    prime_bits: int = 30          # size of each RNS prime (< 31)
+    scale_bits: int = 25          # default encoding scale (waterline analog)
+    seed: int = 2024              # keygen/encrypt RNG seed (testing determinism)
+
+    @property
+    def dnum(self) -> int:
+        return -(-self.num_q // self.alpha)
+
+    @property
+    def n_slots(self) -> int:
+        return self.n // 2
+
+    @property
+    def num_all(self) -> int:
+        return self.num_q + self.alpha
+
+
+# Profiles analogous to the reference's profiled_{SEAL,HEAAN}_{CPU,GPU}.json.
+PROFILES = {
+    # parity-scale profile (reference SEAL: N=2^15, L=14: profiled_SEAL_CPU.json:2-8)
+    "tpu_n15": CKKSConfig(n=1 << 15, num_q=14, alpha=7, prime_bits=30, scale_bits=25),
+    # bootstrap-capable profile (reference HEaaN FVa-class; config.json:2-6)
+    "tpu_n16": CKKSConfig(n=1 << 16, num_q=30, alpha=10, prime_bits=30, scale_bits=25),
+    # small fast profile for N=2^14-class traces
+    "tpu_n14": CKKSConfig(n=1 << 14, num_q=8, alpha=4, prime_bits=30, scale_bits=25),
+    # insecure tiny profiles for unit tests
+    "test_n8": CKKSConfig(n=1 << 8, num_q=6, alpha=3, prime_bits=30, scale_bits=25),
+    "test_n10": CKKSConfig(n=1 << 10, num_q=8, alpha=4, prime_bits=30, scale_bits=25),
+}
+
+
+def _shoup_arr(vals, qs):
+    """uint32 arrays (val, shoup) for constant-lists vals against moduli qs."""
+    v = np.array(vals, dtype=np.uint32)
+    s = np.array([host_shoup(int(w), int(q)) for w, q in zip(vals, qs)], dtype=np.uint32)
+    return v, s
+
+
+@dataclass
+class GroupConsts:
+    """Per-(level, digit-group) key-switch constants."""
+
+    rows: list                      # active global Q rows in this group
+    t_coef: np.ndarray              # [g] coeff-domain digit consts (with shoup)
+    t_coef_shoup: np.ndarray
+    s_ntt: np.ndarray               # [g] NTT-domain own-plane consts (with shoup)
+    s_ntt_shoup: np.ndarray
+    targets: list                   # global rows (Q-other + specials) to extend into
+    m: np.ndarray                   # [g, len(targets)] basis-conversion consts
+    m_shoup: np.ndarray
+
+
+@dataclass
+class LevelConsts:
+    """All level-dependent constants for nl active Q primes."""
+
+    nl: int
+    groups: list                    # list[GroupConsts]
+    # ModDown P -> Q^{(nl)}
+    md_t: np.ndarray                # [alpha] (with shoup) per special prime
+    md_t_shoup: np.ndarray
+    md_m: np.ndarray                # [alpha, nl]
+    md_m_shoup: np.ndarray
+    pinv: np.ndarray                # [nl] P^{-1} mod q_i (with shoup)
+    pinv_shoup: np.ndarray
+    # Rescale (drop row nl-1)
+    rs_half: int                    # q_top // 2
+    rs_diff: np.ndarray             # [nl-1] q_i - q_top  (centered-lift correction)
+    rs_inv: np.ndarray              # [nl-1] q_top^{-1} mod q_i (with shoup)
+    rs_inv_shoup: np.ndarray
+
+
+class CKKSContext:
+    """Precomputed tables + device plane tables for one parameter set."""
+
+    def __init__(self, config: CKKSConfig):
+        self.config = config
+        n = config.n
+        chain = gen_ntt_primes(n, config.num_all, config.prime_bits)
+        # Largest primes become the special modulus P (must dominate any digit
+        # group product for the approximate-ModUp noise bound).
+        self.p_primes = chain[: config.alpha]
+        self.q_primes = chain[config.alpha:]
+        self.primes = self.q_primes + self.p_primes  # row order
+        self.n = n
+        self.logn = n.bit_length() - 1
+
+        self._build_ntt_tables()
+        self._build_level_consts()
+        self._build_galois_tables()
+        self._rot_perm_cache = {}
+
+    # ------------------------------------------------------------------ NTT
+    def _build_ntt_tables(self):
+        n, logn = self.n, self.logn
+        P = len(self.primes)
+        tw = np.zeros((P, n), dtype=np.uint32)
+        tws = np.zeros((P, n), dtype=np.uint32)
+        itw = np.zeros((P, n), dtype=np.uint32)
+        itws = np.zeros((P, n), dtype=np.uint32)
+        ninv = np.zeros((P,), dtype=np.uint32)
+        ninvs = np.zeros((P,), dtype=np.uint32)
+        self.psis = []
+        brv = np.array([bit_reverse(i, logn) for i in range(n)], dtype=np.int64)
+
+        def shoup_vec(w, q):  # w int64 < 2^31 -> floor(w<<32 / q), fits int64
+            return ((w.astype(np.int64) << 32) // q).astype(np.uint32)
+
+        for r, q in enumerate(self.primes):
+            psi = primitive_root_2n(q, n)
+            self.psis.append(psi)
+            psi_inv = pow(psi, -1, q)
+            pows = np.ones(n, dtype=np.int64)
+            ipows = np.ones(n, dtype=np.int64)
+            for i in range(1, n):
+                pows[i] = pows[i - 1] * psi % q
+                ipows[i] = ipows[i - 1] * psi_inv % q
+            fw = pows[brv]
+            iv = ipows[brv]
+            tw[r] = fw.astype(np.uint32)
+            tws[r] = shoup_vec(fw, q)
+            itw[r] = iv.astype(np.uint32)
+            itws[r] = shoup_vec(iv, q)
+            nv = pow(n, -1, q)
+            ninv[r] = nv
+            ninvs[r] = host_shoup(nv, q)
+        qs = np.array(self.primes, dtype=np.uint32)
+        self.host_tables = dict(
+            q=qs,
+            qinv_neg=np.array([host_qinv_neg(q) for q in self.primes], dtype=np.uint32),
+            rconst=np.array([(1 << 32) % q for q in self.primes], dtype=np.uint32),
+            rconst_shoup=np.array(
+                [host_shoup((1 << 32) % q, q) for q in self.primes], dtype=np.uint32
+            ),
+            tw=tw, tw_shoup=tws, itw=itw, itw_shoup=itws,
+            ninv=ninv, ninv_shoup=ninvs,
+        )
+
+    @cached_property
+    def dev(self):
+        """Device-side (jnp) copies of the plane tables."""
+        import jax.numpy as jnp
+
+        return {k: jnp.asarray(v) for k, v in self.host_tables.items()}
+
+    # ------------------------------------------------------- level constants
+    def _build_level_consts(self):
+        cfg = self.config
+        alpha = cfg.alpha
+        p_prod = 1
+        for p in self.p_primes:
+            p_prod *= p
+        self.p_prod = p_prod
+        q_full = 1
+        for q in self.q_primes:
+            q_full *= q
+        self.q_full = q_full
+
+        # full-Q group moduli for the fixed partition
+        groups_full = [
+            list(range(j * alpha, min((j + 1) * alpha, cfg.num_q)))
+            for j in range(cfg.dnum)
+        ]
+        qj_full = []
+        for rows in groups_full:
+            m = 1
+            for r in rows:
+                m *= self.q_primes[r]
+            qj_full.append(m)
+
+        self.levels = []
+        for nl in range(1, cfg.num_q + 1):
+            active = list(range(nl))
+            groups = []
+            for j, rows_full in enumerate(groups_full):
+                rows = [r for r in rows_full if r < nl]
+                if not rows:
+                    continue
+                g_prod = 1
+                for r in rows:
+                    g_prod *= self.q_primes[r]
+                qhat_j = q_full // qj_full[j]      # Q̂_j^{full}
+                targets = [r for r in active if r not in rows] + [
+                    cfg.num_q + i for i in range(alpha)
+                ]
+                t_coef, s_ntt = [], []
+                for r in rows:
+                    q = self.q_primes[r]
+                    inv_qhat = pow(qhat_j % q, -1, q)
+                    ghat = g_prod // q              # G_j / q_r
+                    t_coef.append(inv_qhat * pow(ghat % q, -1, q) % q)
+                    s_ntt.append(inv_qhat)
+                m = np.zeros((len(rows), len(targets)), dtype=np.uint32)
+                ms = np.zeros_like(m)
+                for gi, r in enumerate(rows):
+                    ghat = g_prod // self.q_primes[r]
+                    for ti, tr in enumerate(targets):
+                        tq = self.primes[tr]
+                        m[gi, ti] = ghat % tq
+                        ms[gi, ti] = host_shoup(ghat % tq, tq)
+                tc, tcs = _shoup_arr(t_coef, [self.q_primes[r] for r in rows])
+                sn, sns = _shoup_arr(s_ntt, [self.q_primes[r] for r in rows])
+                groups.append(GroupConsts(rows, tc, tcs, sn, sns, targets, m, ms))
+
+            # ModDown P -> Q^{(nl)}
+            md_t = []
+            for g, p in enumerate(self.p_primes):
+                phat = p_prod // p
+                md_t.append(pow(phat % p, -1, p))
+            md_m = np.zeros((alpha, nl), dtype=np.uint32)
+            md_ms = np.zeros_like(md_m)
+            for g, p in enumerate(self.p_primes):
+                phat = p_prod // p
+                for i in range(nl):
+                    q = self.q_primes[i]
+                    md_m[g, i] = phat % q
+                    md_ms[g, i] = host_shoup(phat % q, q)
+            mdt, mdts = _shoup_arr(md_t, self.p_primes)
+            pinv = [pow(p_prod % self.q_primes[i], -1, self.q_primes[i]) for i in range(nl)]
+            pv, pvs = _shoup_arr(pinv, self.q_primes[:nl])
+
+            # Rescale: drop row nl-1 (the smallest active prime)
+            if nl >= 2:
+                qt = self.q_primes[nl - 1]
+                rs_diff = np.array(
+                    [self.q_primes[i] - qt for i in range(nl - 1)], dtype=np.uint32
+                )
+                rs_inv = [pow(qt, -1, self.q_primes[i]) for i in range(nl - 1)]
+                ri, ris = _shoup_arr(rs_inv, self.q_primes[: nl - 1])
+                half = qt // 2
+            else:
+                rs_diff = np.zeros((0,), dtype=np.uint32)
+                ri = ris = np.zeros((0,), dtype=np.uint32)
+                half = 0
+
+            self.levels.append(
+                LevelConsts(nl, groups, mdt, mdts, md_m, md_ms, pv, pvs,
+                            half, rs_diff, ri, ris)
+            )
+
+    def level(self, nl: int) -> LevelConsts:
+        return self.levels[nl - 1]
+
+    # ------------------------------------------------------------- galois
+    def _build_galois_tables(self):
+        """Recover the NTT output point ordering via discrete log, once.
+
+        The forward NTT evaluates at ψ^{e_i} for some index-dependent odd
+        exponent pattern e_i (identical across primes by construction). We
+        recover e_i by running a host NTT on the monomial X and taking
+        discrete logs in <ψ>.
+        """
+        n, logn = self.n, self.logn
+        q = self.primes[0]
+        psi = self.psis[0]
+        x = np.zeros(n, dtype=np.int64)
+        x[1] = 1
+        vals = _host_ntt(x, q, self.host_tables["tw"][0].astype(np.int64))
+        dlog = {}
+        acc = psi  # ψ^1
+        step = psi * psi % q  # ψ^2
+        for e in range(1, 2 * n, 2):
+            dlog[acc] = e
+            acc = acc * step % q
+        self.eval_exps = np.array([dlog[int(v)] for v in vals], dtype=np.int64)
+        self.exp_to_idx = {int(e): i for i, e in enumerate(self.eval_exps)}
+
+    def rot_perm(self, steps: int) -> np.ndarray:
+        """Slot-rotation permutation in NTT domain: new[i] = old[perm[i]].
+
+        Left-rotation by `steps` slots == automorphism X -> X^{5^steps}.
+        """
+        steps = steps % (self.n // 2)
+        if steps in self._rot_perm_cache:
+            return self._rot_perm_cache[steps]
+        two_n = 2 * self.n
+        g = pow(5, steps, two_n)
+        perm = np.array(
+            [self.exp_to_idx[(int(e) * g) % two_n] for e in self.eval_exps],
+            dtype=np.int32,
+        )
+        self._rot_perm_cache[steps] = perm
+        return perm
+
+    def galois_elt(self, steps: int) -> int:
+        return pow(5, steps % (self.n // 2), 2 * self.n)
+
+
+def _host_ntt(x, q, tw):
+    """Host mirror of the device forward NTT (int64 numpy; table building and
+    tests only — products < 2^62 fit int64)."""
+    n = len(x)
+    a = x.astype(np.int64).copy()
+    m = 1
+    while m < n:
+        a = a.reshape(m, 2, n // (2 * m))
+        w = tw[m: 2 * m].reshape(m, 1)
+        u = a[:, 0, :]
+        v = a[:, 1, :] * w % q
+        a = np.stack([(u + v) % q, (u - v + q) % q], axis=1).reshape(-1)
+        m *= 2
+    return a
