@@ -68,6 +68,16 @@ PROFILES = {
     # insecure tiny profiles for unit tests
     "test_n8": CKKSConfig(n=1 << 8, num_q=6, alpha=3, prime_bits=30, scale_bits=25),
     "test_n10": CKKSConfig(n=1 << 10, num_q=8, alpha=4, prime_bits=30, scale_bits=25),
+    "test_n11": CKKSConfig(n=1 << 11, num_q=8, alpha=4, prime_bits=30, scale_bits=25),
+}
+
+# crypto profile name -> compiler profile json (dacapo_tpu/profiles/)
+COMPILER_PROFILES = {
+    "tpu_n15": "profiled_TPU_n15",
+    "tpu_n16": "profiled_TPU_n16",
+    "tpu_n14": "profiled_TPU_n14",
+    "test_n10": "profiled_TPU_test_n10",
+    "test_n11": "profiled_TPU_test_n11",
 }
 
 

@@ -1,0 +1,52 @@
+"""Compile pipelines: the hecate-opt equivalents (--eva --pars --snr ...).
+
+Pass orders mirror tools/optimizer.cpp: eva :236-279, snr :281-325,
+pars :437-480 (walk -> EarlyModswitch -> CSE -> canonicalize -> lower ->
+buffer reuse -> emit). --elasm and --dacapo are registered in
+passes/elasm.py and passes/dacapo.py.
+"""
+
+import os
+
+from ..ir.config import current_config
+from ..ir.earth import Function
+from .scale import waterline_rescaling, proactive_rescaling, snr_rescaling
+from .hoist import early_modswitch
+from .rewrite import cse, canonicalize
+from ..vm.lower import lower
+
+
+def run_scale_pipeline(fn: Function, pipeline: str, waterline: int,
+                       output_val: int = 0, config=None, **opts):
+    cfg = config or current_config()
+    if pipeline == "eva":
+        waterline_rescaling(fn, waterline, output_val, config=cfg)
+    elif pipeline == "pars":
+        proactive_rescaling(fn, waterline, output_val, config=cfg)
+    elif pipeline == "snr":
+        snr_rescaling(fn, waterline, output_val, config=cfg)
+    elif pipeline == "elasm":
+        from .elasm import elasm_explorer
+        elasm_explorer(fn, waterline, output_val, config=cfg, **opts)
+    elif pipeline == "dacapo":
+        from .dacapo import dacapo_plan
+        dacapo_plan(fn, waterline, output_val, config=cfg, **opts)
+    else:
+        raise ValueError(f"unknown pipeline {pipeline}")
+    early_modswitch(fn)
+    cse(fn)
+    canonicalize(fn)
+    return fn
+
+
+def compile_function(fn: Function, pipeline: str, waterline: int,
+                     output_val: int = 0, config=None, out_prefix=None, **opts):
+    """Full pipeline -> HEVMProgram (optionally writing <prefix>._hecate_<name>.hevm)."""
+    cfg = config or current_config()
+    run_scale_pipeline(fn, pipeline, waterline, output_val, config=cfg, **opts)
+    fn.verify(cfg)
+    prog = lower(fn, config=cfg)
+    if out_prefix:
+        os.makedirs(os.path.dirname(out_prefix) or ".", exist_ok=True)
+        prog.save(f"{out_prefix}._hecate_{fn.name}.hevm")
+    return prog
