@@ -1,0 +1,40 @@
+"""Bootstrapping.
+
+Two implementations, mirroring the reference's runtime split:
+
+* `EmulatedBootstrapper` — decrypt -> re-encode -> re-encrypt, the insecure
+  functional oracle the reference ships for SEAL (SEAL_HEVM.cpp:324-334,
+  README.md:160-173 "not privacy-safe"). Host round-trip; works only with the
+  secret key loaded, used to validate planner output before the native path.
+* `NativeBootstrapper` — the real CKKS bootstrapping (ModRaise ->
+  CoeffToSlot -> EvalMod -> SlotToCoeff), the HEaaN-class path
+  (HEAAN_HEVM.cpp:386-399). Built in crypto/bootstrap_native.py.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class EmulatedBootstrapper:
+    def __init__(self, scheme):
+        self.s = scheme
+        assert scheme.keys is not None and scheme.keys.s_ntt is not None, \
+            "emulated bootstrapping needs the secret key (full VM mode)"
+
+    def bootstrap(self, data, nl, scale, target_level):
+        from .scheme import Ciphertext
+        s = self.s
+        vals = s.decrypt(Ciphertext(data, scale))
+        nl2 = target_level + 1
+        ct = s.encrypt(vals, scale=scale, nl=nl2)
+        return ct.data, (nl2, scale)
+
+
+def Bootstrapper(scheme, native=None):
+    """Pick the native path when its keys are available, else emulate."""
+    if native is None:
+        native = getattr(scheme, "bootstrap_keys", None) is not None
+    if native:
+        from .bootstrap_native import NativeBootstrapper
+        return NativeBootstrapper(scheme)
+    return EmulatedBootstrapper(scheme)

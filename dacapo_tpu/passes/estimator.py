@@ -80,8 +80,12 @@ class AutoDifferentiation:
         for op in fn.ops:
             est = [self.value_est.setdefault(v, 1.0) for v in op.operands]
             self.value_est[op.result] = self._est_rule(op, est)
+        ret_uses = {}
+        for v in fn.returns:
+            ret_uses[v] = ret_uses.get(v, 0) + 1
         for op in reversed(fn.ops):
-            grad = 0.0
+            # the func.return operand counts as a use with default grad 1.0
+            grad = float(ret_uses.get(op.result, 0))
             for (uop, i) in uses.get(op.result, []):
                 grad += self.operand_diff.setdefault((id(uop), i), 1.0)
             self.value_diff[op.result] = grad

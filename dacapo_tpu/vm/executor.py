@@ -139,6 +139,10 @@ class HEVMExecutor:
     def run(self, arg_values, jit=True):
         """arg_values: list of numpy slot-value vectors. Returns decrypted
         [res][slots] array like runner.getOutput."""
+        if jit and any(op.opcode == OP_BOOTSTRAP for op in self.prog.ops):
+            from ..crypto.bootstrap import EmulatedBootstrapper, Bootstrapper
+            if isinstance(Bootstrapper(self.s), EmulatedBootstrapper):
+                jit = False  # emulated bootstrap needs a host round-trip
         arg_cts = []
         for i, v in enumerate(arg_values):
             nl = self.prog.arg_level[i] + 1
