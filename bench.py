@@ -1,0 +1,86 @@
+"""Benchmark: CKKS ct-ct multiply (with relinearization) throughput on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's profiled SEAL-CPU ct-ct multiply at top level,
+160732 us/op (profiled_SEAL_CPU.json latencyTable earth.mul_double, level 13,
+N=2^15 Delta=2^60) -> 6.22 mult/s. We run the same-scale parity profile
+(tpu_n15: N=2^15, L=14 RNS primes) on one TPU chip.
+
+Extra per-op timings (rotate, rescale, add) go to stderr for the record.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def time_op(fn, *args, iters=20, warmup=3):
+    import jax
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    log("devices:", jax.devices())
+    from dacapo_tpu.crypto.scheme import Scheme
+
+    profile = "tpu_n15"
+    t0 = time.time()
+    s = Scheme(profile)
+    log(f"context build: {time.time()-t0:.1f}s "
+        f"(N=2^{s.ctx.logn}, {len(s.ctx.q_primes)}+{len(s.ctx.p_primes)} primes)")
+    t0 = time.time()
+    s.generate_keys(rot_steps=(1,))
+    log(f"keygen: {time.time()-t0:.1f}s")
+
+    n = s.ctx.config.n_slots
+    nl = s.ctx.config.num_q
+    rng = np.random.default_rng(0)
+    a = s.encrypt(rng.uniform(-1, 1, n))
+    b = s.encrypt(rng.uniform(-1, 1, n))
+
+    ev = s.ev
+    rlk = s.keys.rlk
+    gk = s.keys.galois[1]
+
+    t_mul = time_op(lambda x, y: ev.mul_ct(x, y, nl, rlk), a.data, b.data)
+    log(f"ct-ct mul+relin (L={nl}): {t_mul*1e3:.2f} ms")
+    t_rot = time_op(lambda x: ev.rotate(x, nl, 1, gk), a.data)
+    log(f"rotate (L={nl}): {t_rot*1e3:.2f} ms")
+    t_rs = time_op(lambda x: ev.rescale(x, nl), a.data)
+    log(f"rescale (L={nl}): {t_rs*1e3:.2f} ms")
+    t_add = time_op(lambda x, y: ev.add_ct(x, y, nl), a.data, b.data)
+    log(f"add (L={nl}): {t_add*1e3:.3f} ms")
+
+    # sanity: the benchmark op must be *correct*, not just fast
+    out = s.decrypt(s.rescale(s.mul(a, b)))
+    want = np.asarray(s.decrypt(a)) * np.asarray(s.decrypt(b))
+    rms = float(np.sqrt(np.mean((out - want) ** 2)))
+    log(f"mul correctness rms: {rms:.2e}")
+    assert rms < 2e-3, "benchmark op incorrect"
+
+    baseline_s = 160732e-6        # reference SEAL-CPU mul_double @ L13
+    value = 1.0 / t_mul
+    print(json.dumps({
+        "metric": "ctct_mul_relin_throughput_N32768_L14",
+        "value": round(value, 3),
+        "unit": "mult/s/chip",
+        "vs_baseline": round(value * baseline_s, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -60,11 +60,11 @@ class CKKSConfig:
 # Profiles analogous to the reference's profiled_{SEAL,HEAAN}_{CPU,GPU}.json.
 PROFILES = {
     # parity-scale profile (reference SEAL: N=2^15, L=14: profiled_SEAL_CPU.json:2-8)
-    "tpu_n15": CKKSConfig(n=1 << 15, num_q=14, alpha=7, prime_bits=30, scale_bits=25),
+    "tpu_n15": CKKSConfig(n=1 << 15, num_q=14, alpha=7, prime_bits=30, scale_bits=28),
     # bootstrap-capable profile (reference HEaaN FVa-class; config.json:2-6)
-    "tpu_n16": CKKSConfig(n=1 << 16, num_q=30, alpha=10, prime_bits=30, scale_bits=25),
+    "tpu_n16": CKKSConfig(n=1 << 16, num_q=30, alpha=10, prime_bits=30, scale_bits=28),
     # small fast profile for N=2^14-class traces
-    "tpu_n14": CKKSConfig(n=1 << 14, num_q=8, alpha=4, prime_bits=30, scale_bits=25),
+    "tpu_n14": CKKSConfig(n=1 << 14, num_q=8, alpha=4, prime_bits=30, scale_bits=28),
     # insecure tiny profiles for unit tests
     "test_n8": CKKSConfig(n=1 << 8, num_q=6, alpha=3, prime_bits=30, scale_bits=25),
     "test_n10": CKKSConfig(n=1 << 10, num_q=8, alpha=4, prime_bits=30, scale_bits=25),

@@ -1,0 +1,127 @@
+"""Multi-chip execution: ciphertext-batch + limb-plane sharding over a Mesh.
+
+The reference has no distributed runtime (SURVEY.md §2.4); this is the
+TPU-native scaling layer designed in its place:
+
+* axis "dp": batches of ciphertexts are data-parallel (client batches,
+  server-side throughput scaling) — no cross-device traffic.
+* axis "mp": RNS limb planes are model-parallel. Pointwise ops and NTTs are
+  limb-local; key-switch base conversion and the evk inner product cross
+  limbs, where GSPMD inserts the collectives (all-gather of the alpha digit
+  rows, psum-style accumulation) over ICI.
+
+Everything is expressed with jax.sharding annotations under jit — the XLA
+partitioner owns the collective schedule, per the standard JAX scaling
+recipe. Hand-tuned shard_map/Pallas collectives can replace hot paths later
+without changing this interface.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices=None, dp=None, limbs=None):
+    """Mesh over (dp, mp); mp must divide the sharded limb count `limbs`."""
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devs)
+    if dp is None:
+        mp = 1
+        for cand in (4, 3, 2, 1):
+            if n % cand == 0 and (limbs is None or limbs % cand == 0):
+                mp = cand
+                break
+        dp = n // mp
+    else:
+        mp = n // dp
+    mesh_devs = np.array(devs).reshape(dp, mp)
+    return Mesh(mesh_devs, ("dp", "mp"))
+
+
+def batch_sharding(mesh):
+    """[B, 2, nl, N] ciphertext batches: batch over dp, limbs over mp."""
+    return NamedSharding(mesh, P("dp", None, "mp", None))
+
+
+def key_sharding(mesh):
+    """[dnum, 2, rows, N] key-switch keys: replicated (read-only broadcast
+    weights; QP row count is not generally divisible by the mp axis)."""
+    return NamedSharding(mesh, P(None, None, None, None))
+
+
+def plain_sharding(mesh):
+    return NamedSharding(mesh, P("mp", None))
+
+
+def replicated(mesh, rank):
+    return NamedSharding(mesh, P(*([None] * rank)))
+
+
+class BatchedEvaluator:
+    """vmapped evaluator ops over a ciphertext batch, mesh-sharded."""
+
+    def __init__(self, scheme, mesh):
+        self.s = scheme
+        self.ev = scheme.ev
+        self.mesh = mesh
+
+    def eval_step(self, nl, rot_steps=1):
+        """A representative jitted encrypted step over a batch:
+        y = rescale( (a*b) + rotate(a, k) * pt ) — exercises mul+relin
+        keyswitch, galois rotation, plaintext mul, and rescale, batched."""
+        ev = self.ev
+        s = self.s
+
+        def one(a, b, pt, rlk, gk):
+            m = ev._mul_ct(a, b, nl, rlk)
+            r = ev._rotate(a, nl, rot_steps, gk)
+            r = ev.mul_pt(r, pt, nl)
+            x = ev.add_ct(m, r, nl)
+            return ev._rescale(x, nl)
+
+        def step(abatch, bbatch, pt, rlk, gk):
+            return jax.vmap(lambda a, b: one(a, b, pt, rlk, gk))(abatch, bbatch)
+
+        return step
+
+    def compile_step(self, batch, nl, rot_steps=1):
+        """jit the batched step with mesh shardings; returns (fn, args)."""
+        mesh = self.mesh
+        s = self.s
+        cs = batch_sharding(mesh)
+        ks = key_sharding(mesh)
+        ps = plain_sharding(mesh)
+        step = self.eval_step(nl, rot_steps)
+        fn = jax.jit(
+            step,
+            in_shardings=(cs, cs, ps, ks, ks),
+            out_shardings=NamedSharding(mesh, P("dp", None, None, None)),
+        )
+        gk = s.keys.galois[rot_steps]
+        return fn, (batch, batch, jnp.zeros_like(batch[0, 0]) + 1, s.keys.rlk, gk)
+
+
+def dryrun(n_devices, profile="test_n8", batch=None):
+    """Create an n-device mesh and run ONE batched encrypted evaluation step
+    with real (dp, mp) shardings on tiny shapes. Used by __graft_entry__'s
+    dryrun_multichip and tests/test_parallel.py."""
+    from ..crypto.scheme import Scheme
+
+    s = Scheme(profile)
+    s.generate_keys(rot_steps=(1,))
+    nl = s.ctx.config.num_q
+    mesh = make_mesh(n_devices, limbs=nl)
+    be = BatchedEvaluator(s, mesh)
+    b = batch or max(2, mesh.shape["dp"])
+    rng = np.random.default_rng(0)
+    cts = []
+    for i in range(b):
+        cts.append(np.asarray(
+            s.encrypt(rng.uniform(-1, 1, s.ctx.config.n_slots)).data))
+    batch_arr = jnp.asarray(np.stack(cts))
+    fn, args = be.compile_step(batch_arr, nl)
+    out = fn(*args)
+    out.block_until_ready()
+    assert out.shape == (b, 2, nl - 1, s.ctx.n)
+    return out
