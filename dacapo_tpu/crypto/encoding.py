@@ -31,10 +31,18 @@ class Encoder:
 
     # ----------------------------------------------------------- encode
     def coeffs_from_values(self, values: np.ndarray, scale: float) -> np.ndarray:
-        """Real slot values (len <= n_slots; cyclically replicated like the
-        reference encode_internal) -> integer coefficient vector (int64)."""
-        v = np.asarray(values, dtype=np.float64).ravel()
-        full = v[np.arange(self.n_slots) % len(v)]
+        """Slot values (len <= n_slots; cyclically replicated like the
+        reference encode_internal) -> integer coefficient vector (int64).
+
+        Accepts real or complex slot vectors; the spectrum is made
+        conjugate-symmetric by construction, so the polynomial coefficients
+        are always real (complex slots are first-class in CKKS — the
+        bootstrap linear transforms rely on this).
+        """
+        v = np.asarray(values)
+        v = v.ravel().astype(
+            np.complex128 if np.iscomplexobj(v) else np.float64)
+        full = v[np.arange(self.n_slots) % len(v)].astype(np.complex128)
         spec = np.zeros(self.n, dtype=np.complex128)
         spec[self.slot_bins] = full
         spec[self.conj_bins] += np.conj(full)           # += handles n=2 overlap
@@ -53,15 +61,18 @@ class Encoder:
         return out
 
     # ----------------------------------------------------------- decode
-    def values_from_coeffs(self, coeffs_float: np.ndarray, scale: float) -> np.ndarray:
+    def values_from_coeffs(self, coeffs_float: np.ndarray, scale: float,
+                           complex_out: bool = False) -> np.ndarray:
         d = coeffs_float / scale * self.twist
         spec = self.n * np.fft.ifft(d)
-        return np.real(spec[self.slot_bins])
+        s = spec[self.slot_bins]
+        return s if complex_out else np.real(s)
 
-    def decode(self, planes: np.ndarray, scale: float) -> np.ndarray:
-        """uint32 [nl, N] coefficient-domain planes -> real slot values."""
+    def decode(self, planes: np.ndarray, scale: float,
+               complex_out: bool = False) -> np.ndarray:
+        """uint32 [nl, N] coefficient-domain planes -> slot values."""
         coeffs = self.crt_lift(planes)
-        return self.values_from_coeffs(coeffs, scale)
+        return self.values_from_coeffs(coeffs, scale, complex_out)
 
     def crt_lift(self, planes: np.ndarray) -> np.ndarray:
         """CRT-recombine residues to centered big ints, return as float64."""

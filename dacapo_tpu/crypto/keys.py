@@ -19,6 +19,7 @@ class KeySet:
     pk: object                       # uint32 [2, num_q, N] (b, a)
     rlk: object                      # uint32 [dnum, 2, num_all, N]
     galois: dict = field(default_factory=dict)   # steps -> uint32 [dnum, 2, num_all, N]
+    conj: object = None              # conjugation key, same shape as rlk
 
 
 def _residues(coeffs: np.ndarray, primes) -> np.ndarray:
@@ -89,6 +90,14 @@ class KeyGenerator:
                 perm = self.ctx.rot_perm(st)
                 s_rot = keyset.s_ntt[:, jnp.asarray(perm, dtype=jnp.int32)]
                 keyset.galois[st] = self._ksk(keyset.s_ntt, s_rot)
+        return keyset
+
+    def ensure_conj(self, keyset: KeySet):
+        """Generate the conjugation (X -> X^{-1}) key if missing."""
+        if keyset.conj is None:
+            perm = self.ctx.conj_perm
+            s_conj = keyset.s_ntt[:, jnp.asarray(perm, dtype=jnp.int32)]
+            keyset.conj = self._ksk(keyset.s_ntt, s_conj)
         return keyset
 
     def _ksk(self, s_ntt, target_ntt):

@@ -167,25 +167,26 @@ class Evaluator:
             ("keyswitch", nl), lambda: lambda c, k: self._keyswitch(c, nl, k)
         )(c_ntt, ksk)
 
-    def _keyswitch(self, c_ntt, nl, ksk):
-        """Switch the key under poly `c_ntt` (uint32 [nl, N], NTT domain).
+    def _modup(self, c_ntt, nl):
+        """ModUp decomposition of `c_ntt` (uint32 [nl, N], NTT domain).
 
-        Returns (b_add, a_add): uint32 [nl, N] each, to be added to (c0, 0) or
-        (c0, c1') depending on the operation (relin vs rotate).
-        Hybrid GHS/RNS key-switching with approximate ModUp (see params.py).
+        Returns uint32 [dnum_active, len(qp_rows), N] digit planes in NTT
+        domain over the full Q^{(nl)}P basis (hybrid GHS/RNS with approximate
+        base conversion; see params.py). Factored out of the key-switch so
+        rotations of one ciphertext can HOIST it (Halevi-Shoup hoisting: the
+        decomposition is coefficient-wise, so automorphisms commute with it
+        and many rotations can share one ModUp).
         """
         ctx = self.ctx
         lc = ctx.level(nl)
         alpha = ctx.config.alpha
         sp_rows = [ctx.config.num_q + i for i in range(alpha)]
         qp_rows = list(range(nl)) + sp_rows
-        n = self.n
 
         c_coeff = self.intt(c_ntt, range(nl))
 
-        acc0 = None
-        acc1 = None
-        for j, g in enumerate(lc.groups):
+        digits = []
+        for g in lc.groups:
             own = g.rows
             # coeff-domain digit residues for base conversion
             u = mul_mod_shoup(
@@ -214,19 +215,43 @@ class Evaluator:
                 planes[r] = own_planes[i]
             for i, r in enumerate(g.targets):
                 planes[r] = ext[i]
-            digit = jnp.stack([planes[r] for r in qp_rows])
+            digits.append(jnp.stack([planes[r] for r in qp_rows]))
+        return jnp.stack(digits)
 
-            kq = self._mm_consts(qp_rows)
-            idx = np.asarray(qp_rows)
-            t0 = mul_mod(digit, ksk[j, 0][idx], *kq)
-            t1 = mul_mod(digit, ksk[j, 1][idx], *kq)
-            if acc0 is None:
-                acc0, acc1 = t0, t1
-            else:
-                qfull = kq[0]
-                acc0 = add_mod(acc0, t0, qfull)
-                acc1 = add_mod(acc1, t1, qfull)
+    def _ks_inner(self, digits, nl, ksk):
+        """Inner product of ModUp digits with the key-switch key.
 
+        digits: [dnum_active, |QP|, N]; returns (acc0, acc1) over the QP basis.
+        """
+        ctx = self.ctx
+        alpha = ctx.config.alpha
+        sp_rows = [ctx.config.num_q + i for i in range(alpha)]
+        qp_rows = list(range(nl)) + sp_rows
+        kq = self._mm_consts(qp_rows)
+        idx = np.asarray(qp_rows)
+        nd = digits.shape[0]
+        k = ksk[:nd][:, :, idx]           # [nd, 2, |QP|, N]
+        t0 = mul_mod(digits, k[:, 0], *kq)
+        t1 = mul_mod(digits, k[:, 1], *kq)
+        qfull = kq[0]
+        acc0, acc1 = t0[0], t1[0]
+        for j in range(1, nd):
+            acc0 = add_mod(acc0, t0[j], qfull)
+            acc1 = add_mod(acc1, t1[j], qfull)
+        return acc0, acc1
+
+    def _keyswitch(self, c_ntt, nl, ksk):
+        """Switch the key under poly `c_ntt` (uint32 [nl, N], NTT domain).
+
+        Returns (b_add, a_add): uint32 [nl, N] each, to be added to (c0, 0) or
+        (c0, c1') depending on the operation (relin vs rotate).
+        Hybrid GHS/RNS key-switching with approximate ModUp (see params.py).
+        """
+        ctx = self.ctx
+        lc = ctx.level(nl)
+        sp_rows = [ctx.config.num_q + i for i in range(ctx.config.alpha)]
+        digits = self._modup(c_ntt, nl)
+        acc0, acc1 = self._ks_inner(digits, nl, ksk)
         return (
             self._mod_down(acc0, nl, lc, sp_rows),
             self._mod_down(acc1, nl, lc, sp_rows),
@@ -300,3 +325,54 @@ class Evaluator:
         ks0, ks1 = self._keyswitch(c1p, nl, gk)
         q = self._q(range(nl))
         return jnp.stack([add_mod(c0p, ks0, q), ks1])
+
+    def conjugate(self, ct, nl, ck):
+        """Complex-conjugate the slots (automorphism X -> X^{-1})."""
+        return self._jit(
+            ("conj", nl), lambda: lambda c, k: self._conjugate(c, nl, k)
+        )(ct, ck)
+
+    def _conjugate(self, ct, nl, ck):
+        perm = self.ctx.conj_perm
+        c0p = self.automorphism(ct[0], perm)
+        c1p = self.automorphism(ct[1], perm)
+        ks0, ks1 = self._keyswitch(c1p, nl, ck)
+        q = self._q(range(nl))
+        return jnp.stack([add_mod(c0p, ks0, q), ks1])
+
+    # ------------------------------------------------- hoisted rotation bank
+    def rotate_batch(self, ct, nl, perms, gks):
+        """K rotations of ONE ciphertext with a single hoisted ModUp.
+
+        Halevi-Shoup hoisting: the ModUp decomposition is coefficient-wise,
+        so the Galois automorphism commutes with it — decompose c1 once, then
+        each rotation is only a plane permutation + evk inner product +
+        ModDown. This replaces K (iNTT + base-conv + NTT) pipelines with one,
+        and the per-rotation work batches into big TPU-friendly ops.
+
+        perms: int32 [K, N] NTT-domain slot permutations (ctx.rot_perm);
+        gks:   uint32 [K, dnum, 2, num_all, N] Galois keys, same step order.
+        Returns uint32 [K, 2, nl, N].
+        """
+        k = int(perms.shape[0])
+        return self._jit(
+            ("rotate_batch", nl, k),
+            lambda: lambda c, p, g: self._rotate_batch(c, nl, p, g),
+        )(ct, perms, gks)
+
+    def _rotate_batch(self, ct, nl, perms, gks):
+        ctx = self.ctx
+        lc = ctx.level(nl)
+        sp_rows = [ctx.config.num_q + i for i in range(ctx.config.alpha)]
+        digits = self._modup(ct[1], nl)          # hoisted: once for all K
+        q = self._q(range(nl))
+
+        def one(perm, gk):
+            d = digits[..., perm]                # σ commutes with ModUp
+            acc0, acc1 = self._ks_inner(d, nl, gk)
+            b = self._mod_down(acc0, nl, lc, sp_rows)
+            a = self._mod_down(acc1, nl, lc, sp_rows)
+            c0p = ct[0][..., perm]
+            return jnp.stack([add_mod(c0p, b, q), a])
+
+        return jax.vmap(one)(perms, gks)

@@ -337,6 +337,16 @@ class CKKSContext:
     def galois_elt(self, steps: int) -> int:
         return pow(5, steps % (self.n // 2), 2 * self.n)
 
+    @cached_property
+    def conj_perm(self) -> np.ndarray:
+        """Conjugation automorphism X -> X^{-1} as an NTT-point permutation
+        (slot effect: z -> conj(z); galois element 2N-1)."""
+        two_n = 2 * self.n
+        return np.array(
+            [self.exp_to_idx[(two_n - int(e)) % two_n] for e in self.eval_exps],
+            dtype=np.int32,
+        )
+
 
 def _host_ntt(x, q, tw):
     """Host mirror of the device forward NTT (int64 numpy; table building and

@@ -125,3 +125,10 @@ class Scheme:
             return a
         gk = self.keys.galois[steps]
         return Ciphertext(self.ev.rotate(a.data, a.nl, steps, gk), a.scale)
+
+    def conjugate(self, a: Ciphertext) -> Ciphertext:
+        self.keygen.ensure_conj(self.keys)
+        return Ciphertext(self.ev.conjugate(a.data, a.nl, self.keys.conj), a.scale)
+
+    def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        return Ciphertext(self.ev.sub_ct(a.data, b.data, a.nl), b.scale)

@@ -33,6 +33,7 @@ class HEVMExecutor:
         self.plains = [None] * program.num_ptxt      # device planes
         self.plain_meta = [None] * program.num_ptxt  # (nl, scale)
         self._compiled = None
+        self._bank_tab_cache = {}    # tuple(steps) -> (perms, stacked gks)
         self._prepare_keys()
 
     def _prepare_keys(self):
@@ -59,7 +60,15 @@ class HEVMExecutor:
 
     # ------------------------------------------------------------ dispatch
     def _run_trace(self, arg_cts, plains):
-        """Trace the instruction stream. arg_cts: list of (data, nl, scale)."""
+        """Trace the instruction stream. arg_cts: list of (data, nl, scale).
+
+        Rotations are executed LAZILY: every `rotatec` of the same source
+        ciphertext joins a pending bank, flushed as ONE hoisted batched
+        rotation (Evaluator.rotate_batch) the first time any of its results
+        is consumed. Ciphertext arrays are immutable (JAX), so deferral is
+        always safe regardless of register reuse.
+        """
+        import numpy as np
         ev = self.ev
         ciphers = [None] * self.prog.num_ctxt
         meta = [None] * self.prog.num_ctxt
@@ -68,6 +77,37 @@ class HEVMExecutor:
             meta[i] = (nl, scale)
         rlk = self.s.keys.rlk
 
+        # pending rotation banks: bank = {"src", "nl", "entries": [(dst, steps)]}
+        banks_by_src = {}      # (id(src_array), nl) -> bank
+        bank_of_dst = {}       # dst reg -> bank
+
+        bank_tabs = self._bank_tab_cache
+
+        def flush(bank):
+            entries = bank["entries"]
+            nl = bank["nl"]
+            steps = tuple(st for _, st in entries)
+            tabs = bank_tabs.get(steps)
+            if tabs is None:
+                perms = jnp.asarray(
+                    np.stack([self.s.ctx.rot_perm(st) for st in steps]),
+                    dtype=jnp.int32,
+                )
+                gks = jnp.stack([self.s.keys.galois[st] for st in steps])
+                tabs = bank_tabs[steps] = (perms, gks)
+            perms, gks = tabs
+            out = ev.rotate_batch(bank["src"], nl, perms, gks)
+            for k, (dst, _) in enumerate(entries):
+                ciphers[dst] = out[k]
+                del bank_of_dst[dst]
+            banks_by_src.pop(bank["key"], None)
+
+        def materialize(reg):
+            bank = bank_of_dst.get(reg)
+            if bank is not None:
+                flush(bank)
+            return ciphers[reg]
+
         for op in self.prog.ops:
             oc = op.opcode
             if oc in (OP_ALLOC, OP_ENCODE):
@@ -75,13 +115,24 @@ class HEVMExecutor:
             if oc == OP_ROTATE:
                 nl, sc = meta[op.lhs]
                 steps = op.rhs
+                src = materialize(op.lhs)
                 if steps == 0:
-                    ciphers[op.dst], meta[op.dst] = ciphers[op.lhs], (nl, sc)
+                    ciphers[op.dst], meta[op.dst] = src, (nl, sc)
                 else:
-                    gk = self.s.keys.galois[steps]
-                    ciphers[op.dst] = ev.rotate(ciphers[op.lhs], nl, steps, gk)
+                    key = (id(src), nl)
+                    bank = banks_by_src.get(key)
+                    if bank is None:
+                        bank = {"key": key, "src": src, "nl": nl, "entries": []}
+                        banks_by_src[key] = bank
+                    bank["entries"].append((op.dst, steps))
+                    bank_of_dst[op.dst] = bank
                     meta[op.dst] = (nl, sc)
-            elif oc == OP_NEGATE:
+                continue
+            if op.lhs < self.prog.num_ctxt:
+                materialize(op.lhs)
+            if oc in (OP_ADDCC, OP_MULCC) and op.rhs < self.prog.num_ctxt:
+                materialize(op.rhs)
+            if oc == OP_NEGATE:
                 nl, sc = meta[op.lhs]
                 ciphers[op.dst] = ev.neg_ct(ciphers[op.lhs], nl)
                 meta[op.dst] = (nl, sc)
@@ -124,7 +175,7 @@ class HEVMExecutor:
             else:
                 raise ValueError(f"bad opcode {oc}")
 
-        outs = [ciphers[r] for r in self.prog.res_dst]
+        outs = [materialize(r) for r in self.prog.res_dst]
         out_meta = [meta[r] for r in self.prog.res_dst]
         return outs, out_meta
 
@@ -136,9 +187,19 @@ class HEVMExecutor:
         return bs.bootstrap(data, nl, scale, target_level)
 
     # ------------------------------------------------------------- frontends
-    def run(self, arg_values, jit=True):
+    WHOLE_JIT_MAX_OPS = 48   # above this, monolithic XLA compile doesn't pay
+
+    def run(self, arg_values, jit="auto"):
         """arg_values: list of numpy slot-value vectors. Returns decrypted
-        [res][slots] array like runner.getOutput."""
+        [res][slots] array like runner.getOutput.
+
+        jit: "auto" (whole-program jit only for small programs), True
+        (force monolithic jit), or False (per-op cached dispatch — each op
+        signature compiles once into a fused XLA unit and is reused, so big
+        programs never pay a monolithic compile).
+        """
+        if jit == "auto":
+            jit = len(self.prog.ops) <= self.WHOLE_JIT_MAX_OPS
         if jit and any(op.opcode == OP_BOOTSTRAP for op in self.prog.ops):
             from ..crypto.bootstrap import EmulatedBootstrapper, Bootstrapper
             if isinstance(Bootstrapper(self.s), EmulatedBootstrapper):

@@ -99,3 +99,22 @@ def test_negate_mod_drop(sch):
     ct = sch.mod_drop(sch.negate(sch.encrypt(v)), 2)
     out = sch.decrypt(ct)
     assert rms(out, -v) < 2e-4
+
+
+def test_rotate_batch_hoisted(sch):
+    """Hoisted batched rotation must match per-step rotation exactly in
+    the decrypted slots (Halevi-Shoup hoisting correctness)."""
+    import jax.numpy as jnp
+    from dacapo_tpu.crypto.scheme import Ciphertext
+
+    v = _vals(sch, 7)
+    ct = sch.encrypt(v)
+    steps = [1, 3, 17]
+    perms = jnp.asarray(np.stack([sch.ctx.rot_perm(st) for st in steps]),
+                        dtype=jnp.int32)
+    gks = jnp.stack([sch.keys.galois[st] for st in steps])
+    out = sch.ev.rotate_batch(ct.data, ct.nl, perms, gks)
+    for k, st in enumerate(steps):
+        got = sch.decrypt(Ciphertext(out[k], ct.scale))
+        want = np.roll(v, -st)
+        assert rms(got, want) < 1e-4, f"step {st}"
