@@ -32,6 +32,9 @@ class EmulatedBootstrapper:
 
 def Bootstrapper(scheme, native=None):
     """Pick the native path when its keys are available, else emulate."""
+    nb = getattr(scheme, "_native_bs", None)
+    if nb is not None and native is not False:
+        return nb
     if native is None:
         native = getattr(scheme, "bootstrap_keys", None) is not None
     if native:

@@ -77,11 +77,13 @@ class CtVal:
 
     def mul_ct(self, o):
         assert self.nl == o.nl
+        assert self.nl >= 2, "bootstrap pipeline exhausted the modulus chain"
         s = self.bs.s
         return CtVal(self.bs, s.ev.mul_ct(self.data, o.data, self.nl, s.keys.rlk),
                      self.scale * o.scale).rescale()
 
     def square(self):
+        assert self.nl >= 2, "bootstrap pipeline exhausted the modulus chain"
         s = self.bs.s
         return CtVal(self.bs, s.ev.square_ct(self.data, self.nl, s.keys.rlk),
                      self.scale * self.scale).rescale()
@@ -107,6 +109,17 @@ class CtVal:
     def scale_by(self, factor):
         """Metadata-only division of the value by `factor` (free)."""
         return CtVal(self.bs, self.data, self.scale * factor)
+
+    def double_val(self):
+        """value *= 2 at the SAME declared scale via a native 1-bit upscale
+        (multiply the RNS ints by 2; no rescale, no level cost).
+
+        Chebyshev doubling steps T_2k = 2*T_k^2 - 1 must use this instead of
+        scale_by(0.5): halving the declared scale compounds quadratically
+        through squarings (scale_k = q/2^(2^k - 1) -> precision collapse),
+        while doubling the ints keeps scale ~= q stable through the chain."""
+        return CtVal(self.bs, self.bs.ev.upscale(self.data, self.nl, 1),
+                     self.scale)
 
     def conj(self):
         s = self.bs.s
@@ -150,7 +163,7 @@ class SlotLinearTransform:
         key = (off, g, nl, pt_scale)
         pt = self._pt_cache.get(key)
         if pt is None:
-            d = np.roll(self.diags[off], -g * self.b)
+            d = np.roll(self.diags[off], g * self.b)
             pt = self.bs.encode_vec(d, pt_scale, nl)
             self._pt_cache[key] = pt
         return pt
@@ -204,7 +217,6 @@ class NativeBootstrapper:
         ang = (np.pi / ctx.n) * (e[:, None] * k[None, :] % (2 * ctx.n))
         A = np.exp(1j * ang)
         self.A = A
-        self.A_inv = np.conj(A).T / s * np.diag(np.exp(-1j * ang[:, 0] * 0)).diagonal()  # placeholder, fixed below
         self.A_inv = np.linalg.inv(A)
         self._cts = None
         self._stc_re = None
@@ -285,22 +297,22 @@ class NativeBootstrapper:
         for i in range(2, b + 1):
             if i % 2 == 0:
                 h = T[i // 2]
-                T[i] = h.square().scale_by(0.5).add_const(-1.0)
+                T[i] = h.square().double_val().add_const(-1.0)
             else:
                 # T_i = 2 T_{(i+1)/2} T_{(i-1)/2} - T_1  (i odd)
                 a_, b_ = T[(i + 1) // 2], T[(i - 1) // 2]
                 nl = min(a_.nl, b_.nl)
-                prod = a_.drop_to(nl).mul_ct(b_.drop_to(nl)).scale_by(0.5)
+                prod = a_.drop_to(nl).mul_ct(b_.drop_to(nl)).double_val()
                 t1d = t1.drop_to(prod.nl)
                 # align scales: const-mul t1 onto prod's scale
                 t1a = t1d.mul_const(1.0, prod.scale) if abs(
                     t1d.scale / prod.scale - 1) > 1e-9 else t1d
-                T[i] = prod.drop_to(t1a.nl).sub(
-                    t1a if t1a.nl == prod.nl else t1a.drop_to(prod.nl))
+                nl_c = min(prod.nl, t1a.nl)
+                T[i] = prod.drop_to(nl_c).sub(t1a.drop_to(nl_c))
         g = 2 * b
         while g <= deg:
             h = T[g // 2]
-            T[g] = h.square().scale_by(0.5).add_const(-1.0)
+            T[g] = h.square().double_val().add_const(-1.0)
             g *= 2
 
         def eval_poly(c):
@@ -375,8 +387,15 @@ class NativeBootstrapper:
 
         cts, stc_re, stc_im = self._transforms(delta)
 
-        # CoeffToSlot: u = A^{-1} z ; fold 1/1 (values stay coeff/delta)
-        u = cts.apply(ct, ct.scale)
+        # Internal working scale ~= prime size: ct*ct squares then satisfy
+        # scale^2/q_top ~= scale, so EvalMod's double-angle chain is
+        # scale-stable even when the program scale delta << 2^prime_bits
+        # (the drift that HEaaN's fixed-scale-per-level bookkeeping absorbs,
+        # HEAAN_HEVM.cpp:313-343).
+        delta_bs = float(2.0 ** ctx.config.prime_bits)
+
+        # CoeffToSlot: u = A^{-1} z ; values stay coeff/delta
+        u = cts.apply(ct, delta_bs)
 
         # Re/Im split (the 1/2 rides the metadata scale)
         uc = u.conj()
@@ -388,11 +407,13 @@ class NativeBootstrapper:
         coeffs = self._cheb_coeffs()
 
         def evalmod(leg, pre):
-            t1 = leg.mul_const(pre * norm * leg.scale / delta, leg.scale)
-            # ^ encode exactly pre*norm in value domain: value' = value*pre*norm
+            # leg.value = a/delta (coeff half over delta);
+            # want t1.value = a/(q0*K) = leg.value * norm  (mul_const
+            # multiplies the VALUE by its constant, exactly)
+            t1 = leg.mul_const(pre * norm, delta_bs)
             y = self._eval_cheb_bsgs(t1, coeffs)
             for _ in range(cfg.r):
-                y = y.square().scale_by(0.5).add_const(-1.0)
+                y = y.square().double_val().add_const(-1.0)
             # y = sin(2*pi*t) ; value m/q0 = y / (2*pi)
             return y.scale_by(2.0 * np.pi)
 

@@ -37,8 +37,14 @@ class KeyGenerator:
         self.rng = np.random.default_rng(ctx.config.seed if seed is None else seed)
 
     # ------------------------------------------------------------- samples
-    def _ternary(self):
-        return self.rng.integers(-1, 2, size=self.ctx.n).astype(np.int64)
+    def _ternary(self, h: int = 0):
+        """Uniform dense ternary, or (h>0) sparse with Hamming weight h."""
+        if h <= 0:
+            return self.rng.integers(-1, 2, size=self.ctx.n).astype(np.int64)
+        out = np.zeros(self.ctx.n, dtype=np.int64)
+        idx = self.rng.choice(self.ctx.n, size=h, replace=False)
+        out[idx] = self.rng.choice(np.array([-1, 1], dtype=np.int64), size=h)
+        return out
 
     def _gauss(self):
         return np.round(self.rng.normal(0.0, 3.2, size=self.ctx.n)).astype(np.int64)
@@ -59,7 +65,7 @@ class KeyGenerator:
         all_rows = list(range(cfg.num_all))
         q_rows = list(range(cfg.num_q))
 
-        s_coeff = self._ternary()
+        s_coeff = self._ternary(cfg.secret_h)
         s_ntt = self._ntt_planes(s_coeff, all_rows)
 
         # public key over Q

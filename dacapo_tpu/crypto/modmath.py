@@ -20,7 +20,9 @@ Replaces the modular arithmetic Hecate outsources to SEAL/HEaaN
 
 import jax.numpy as jnp
 
-_U16 = jnp.uint32(0xFFFF)
+# plain python int (not a jnp scalar): keeps these helpers usable inside
+# Pallas kernels, where closed-over device constants are rejected
+_U16 = 0xFFFF
 
 
 def mulhi_u32(a, b):

@@ -43,6 +43,10 @@ class CKKSConfig:
     prime_bits: int = 30          # size of each RNS prime (< 31)
     scale_bits: int = 25          # default encoding scale (waterline analog)
     seed: int = 2024              # keygen/encrypt RNG seed (testing determinism)
+    secret_h: int = 0             # ternary secret Hamming weight (0 = dense).
+    #   Bootstrappable profiles use a sparse secret so the ModRaise integer
+    #   part I stays within the EvalMod range K (HEaaN-style sparse keys;
+    #   sigma(I) ~ sqrt(h/12), so h=192 keeps |I| < 25 w.h.p.).
 
     @property
     def dnum(self) -> int:
@@ -62,13 +66,17 @@ PROFILES = {
     # parity-scale profile (reference SEAL: N=2^15, L=14: profiled_SEAL_CPU.json:2-8)
     "tpu_n15": CKKSConfig(n=1 << 15, num_q=14, alpha=7, prime_bits=30, scale_bits=28),
     # bootstrap-capable profile (reference HEaaN FVa-class; config.json:2-6)
-    "tpu_n16": CKKSConfig(n=1 << 16, num_q=30, alpha=10, prime_bits=30, scale_bits=28),
+    "tpu_n16": CKKSConfig(n=1 << 16, num_q=30, alpha=10, prime_bits=30,
+                          scale_bits=28, secret_h=192),
     # small fast profile for N=2^14-class traces
     "tpu_n14": CKKSConfig(n=1 << 14, num_q=8, alpha=4, prime_bits=30, scale_bits=28),
     # insecure tiny profiles for unit tests
     "test_n8": CKKSConfig(n=1 << 8, num_q=6, alpha=3, prime_bits=30, scale_bits=25),
     "test_n10": CKKSConfig(n=1 << 10, num_q=8, alpha=4, prime_bits=30, scale_bits=25),
     "test_n11": CKKSConfig(n=1 << 11, num_q=8, alpha=4, prime_bits=30, scale_bits=25),
+    # insecure tiny bootstrap-capable profile (deep chain + sparse secret)
+    "test_boot": CKKSConfig(n=1 << 11, num_q=19, alpha=7, prime_bits=30,
+                            scale_bits=25, secret_h=64),
 }
 
 # crypto profile name -> compiler profile json (dacapo_tpu/profiles/)
@@ -78,6 +86,7 @@ COMPILER_PROFILES = {
     "tpu_n14": "profiled_TPU_n14",
     "test_n10": "profiled_TPU_test_n10",
     "test_n11": "profiled_TPU_test_n11",
+    "test_boot": "profiled_TPU_test_boot",
 }
 
 

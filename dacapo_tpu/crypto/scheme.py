@@ -50,6 +50,15 @@ class Scheme:
     def ensure_galois(self, rot_steps):
         self.keygen.extend_galois(self.keys, rot_steps)
 
+    def enable_native_bootstrap(self, cfg=None):
+        """Build the native bootstrapper (HEaaN-class path) for this scheme;
+        afterwards Bootstrapper(scheme) and the executor use it."""
+        from .bootstrap_native import NativeBootstrapper
+        self.keygen.ensure_conj(self.keys)
+        self._native_bs = NativeBootstrapper(self, cfg)
+        self.bootstrap_keys = True
+        return self._native_bs
+
     # ------------------------------------------------------------ client
     def encode(self, values, scale: float = None, nl: int = None) -> Plaintext:
         cfg = self.ctx.config

@@ -52,6 +52,12 @@ def _emit(opcode, operands, attrs=None, loc=None):
 class Expr:
     __slots__ = ("value",)
 
+    # Make `ndarray <op> Expr` defer to our reflected operators (one Plain
+    # constant for the whole array) instead of numpy broadcasting the Expr
+    # elementwise into an object array.
+    __array_ufunc__ = None
+    __array_priority__ = 1000
+
     def __init__(self, value: Value):
         self.value = value
 
@@ -97,10 +103,20 @@ class Expr:
 
 
 def bootstrap(x):
-    """Free-function bootstrap like the reference's unaryFactory global."""
+    """Free-function bootstrap like the reference's unaryFactory global.
+
+    On iterables the reference (expr.py:115-127) creates bootstrap ops but
+    drops their results (rebinding the loop variable) — harmless only because
+    --dacapo strips user bootstraps. Here containers map properly.
+    """
     if isinstance(x, Expr):
         return x.bootstrap()
-    return [t.bootstrap() for t in x]
+    out = [t.bootstrap() for t in x]
+    if isinstance(x, np.ndarray):
+        arr = np.empty(len(out), dtype=object)
+        arr[:] = out
+        return arr
+    return type(x)(out) if isinstance(x, (list, tuple)) else out
 
 
 def resolve(other):
@@ -132,18 +148,32 @@ class Plain(Expr):
 
 
 class Empty:
-    """Additive identity placeholder (reference expr.py:276-290)."""
+    """Additive identity placeholder (reference expr.py:276-290).
+
+    Outside an active trace (plain-numpy evaluation of the MPCB closures,
+    used by the golden tests) operands pass through unchanged instead of
+    becoming constants.
+    """
+
+    __array_ufunc__ = None
+    __array_priority__ = 1000
 
     def __add__(self, other):
+        if isinstance(other, Expr) or _TraceState.current is None:
+            return other
         return resolve(other)
 
     __radd__ = __add__
     __iadd__ = __add__
 
     def __sub__(self, other):
+        if isinstance(other, Expr) or _TraceState.current is None:
+            return -other
         return -resolve(other)
 
     def __rsub__(self, other):
+        if isinstance(other, Expr) or _TraceState.current is None:
+            return other
         return resolve(other)
 
     __isub__ = __sub__

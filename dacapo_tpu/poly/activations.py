@@ -124,24 +124,30 @@ def genRelu6(b):
 
 
 # ---------------------------------------------------------------- SiLU
-_silu_poly = None
+_silu_polys = {}
 
 
-def silu_half_poly(degree=16):
-    """Odd Chebyshev fit of sigmoid(x) - 0.5 on [-1, 1] (the reference's
-    coeffStr/treeStr data for HE_SiLU)."""
-    global _silu_poly
-    if _silu_poly is None:
-        xs = np.linspace(-1, 1, 4001)
-        ys = 1.0 / (1.0 + np.exp(-xs)) - 0.5
+def silu_half_poly(length=16, bb=32.0, degree=95):
+    """Odd Chebyshev fit of sigmoid(bb*x) - 0.5 on [-1, 1].
+
+    Matches the reference's coeffStr.txt data (degree-95 series whose odd
+    coefficients fit the slot-domain sigmoid at block scale bb=32: the whole
+    model runs on x/bb, so HE_SiLU(u) = u*(sigma(bb*u)-0.5+0.5) = silu(bb*u)/bb).
+    `length` is the BSGS baby count (reference GenPoly degree=16).
+    """
+    key = (length, float(bb), degree)
+    p = _silu_polys.get(key)
+    if p is None:
+        xs = np.cos(np.pi * (np.arange(4001) + 0.5) / 4001)   # cheb nodes
+        ys = 1.0 / (1.0 + np.exp(-bb * xs)) - 0.5
         coef = np.polynomial.chebyshev.chebfit(xs, ys, degree)
         coef[::2] = 0.0
-        _silu_poly = gen_poly_from_cheb(coef, degree)
-    return _silu_poly
+        p = _silu_polys[key] = gen_poly_from_cheb(coef, length)
+    return p
 
 
-def GenPoly(degree=16):
-    return silu_half_poly(degree)
+def GenPoly(degree=16, bb=32.0):
+    return silu_half_poly(length=degree, bb=bb)
 
 
 # numpy reference helpers (Poly.py:51-58)

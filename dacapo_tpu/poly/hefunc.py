@@ -52,19 +52,29 @@ def HE_Pool(close, mpp):
     return close["AP"](mpp)
 
 
+def _bias_of(linear, scale):
+    if linear.bias is None:
+        import numpy as np
+        return np.zeros(linear.weight.shape[0])
+    return MPCB._np(linear.bias) / scale
+
+
 def HE_Linear(close, mpp, linear, p=1.0, scale=1.0, nt=2 ** 16):
     return MPCB.Linear(mpp, MPCB._np(linear.weight) * p,
-                       MPCB._np(linear.bias) / scale, nt)
+                       _bias_of(linear, scale), nt)
 
 
 def HE_ReshapeLinear(close, mpp, linear, p=1.0, scale=1.0, reshape={}, nt=2 ** 16):
     w = MPCB.Reshape(linear.weight, reshape)
-    return MPCB.Linear(mpp, w * p, MPCB._np(linear.bias) / scale, nt)
+    return MPCB.Linear(mpp, w * p, _bias_of(linear, scale), nt)
 
 
 def HE_DwConv(close, mpp, conv, bn):
     g, h = MPCB.abstractBN(bn)
-    return close["DW"](mpp, conv.weight, g, h + MPCB._np(conv.bias))
+    if conv.bias is not None:
+        # conv bias passes through BN's linear fold: y = G*(x+b)+H
+        h = h + g * MPCB._np(conv.bias)
+    return close["DW"](mpp, conv.weight, g, h)
 
 
 def HE_Concat(close, mpp_1, mpp_2):

@@ -1,0 +1,102 @@
+"""Backend op profiler: measures per-op x per-level latency tables.
+
+Reference analog: the profiled_{SEAL,HEAAN}_{CPU,GPU}.json files are measured
+micro-op costs the planner optimizes against (SURVEY.md §5 tracing/profiling).
+Here they are re-measured on the live JAX backend (TPU or CPU) and written in
+the same schema our CompilerConfig loads (ir/config.py).
+
+Latencies are microseconds. `_single` = one-operand form, `_double` =
+two-ciphertext form (the reference's naming from HEProfInterface).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _time(fn, *args, iters=10, warmup=2):
+    import jax
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e6      # us
+
+
+def profile_backend(profile="tpu_n15", out_path=None, iters=10,
+                    bootstrap=False):
+    from ..crypto.scheme import Scheme
+    from ..crypto.params import PROFILES
+
+    s = Scheme(profile)
+    s.generate_keys(rot_steps=(1,))
+    cfg = s.ctx.config
+    n = cfg.n_slots
+    rng = np.random.default_rng(0)
+    a = s.encrypt(rng.uniform(-1, 1, n))
+    b = s.encrypt(rng.uniform(-1, 1, n))
+    pt = s.encode(rng.uniform(-1, 1, n))
+    ev = s.ev
+    rlk, gk = s.keys.rlk, s.keys.galois[1]
+
+    lat = {k: [] for k in (
+        "earth.rotate_single", "earth.negate_single", "earth.rescale_single",
+        "earth.modswitch_single", "earth.upscale_single",
+        "earth.add_single", "earth.add_double",
+        "earth.mul_single", "earth.mul_double", "earth.bootstrap_single",
+        "earth.constant_single",
+    )}
+
+    for nl in range(2, cfg.num_q + 1):
+        ad = a.data[:, :nl, :]
+        bd = b.data[:, :nl, :]
+        pd = pt.data[:nl, :]
+        lat["earth.rotate_single"].append(_time(
+            lambda x: ev.rotate(x, nl, 1, gk), ad, iters=iters))
+        lat["earth.negate_single"].append(_time(
+            lambda x: ev.neg_ct(x, nl), ad, iters=iters))
+        lat["earth.rescale_single"].append(_time(
+            lambda x: ev.rescale(x, nl), ad, iters=iters))
+        lat["earth.modswitch_single"].append(_time(
+            lambda x: ev.mod_drop(x, 1), ad, iters=iters))
+        lat["earth.upscale_single"].append(_time(
+            lambda x: ev.upscale(x, nl, 5), ad, iters=iters))
+        lat["earth.add_single"].append(_time(
+            lambda x: ev.add_pt(x, pd, nl), ad, iters=iters))
+        lat["earth.add_double"].append(_time(
+            lambda x, y: ev.add_ct(x, y, nl), ad, bd, iters=iters))
+        lat["earth.mul_single"].append(_time(
+            lambda x: ev.mul_pt(x, pd, nl), ad, iters=iters))
+        lat["earth.mul_double"].append(_time(
+            lambda x, y: ev.mul_ct(x, y, nl, rlk), ad, bd, iters=iters))
+        lat["earth.constant_single"].append(50.0)
+        if bootstrap:
+            bs = s.enable_native_bootstrap()
+            lat["earth.bootstrap_single"].append(_time(
+                lambda x: bs.bootstrap(x, nl, float(a.scale), nl - 1)[0],
+                ad, iters=max(1, iters // 5)))
+        else:
+            # scale the reference HEaaN-GPU curve as the placeholder
+            lat["earth.bootstrap_single"].append(250000.0 + 8000.0 * nl)
+
+    doc = {
+        "runtime": "TPU-HEVM",
+        "rescalingFactor": cfg.prime_bits,
+        "polynomialDegree": cfg.n,
+        "levelLowerBound": 2,
+        "levelUpperBound": cfg.num_q - 1,
+        "bootstrapLevelLowerBound": 2,
+        "bootstrapLevelUpperBound": cfg.num_q - 1,
+        "latencyTable": lat,
+    }
+    out_path = out_path or os.path.join(
+        os.path.dirname(__file__), "..", "profiles",
+        f"profiled_TPU_{profile}.json")
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    return os.path.abspath(out_path)

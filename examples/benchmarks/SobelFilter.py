@@ -1,0 +1,13 @@
+"""SobelFilter benchmark (reference examples/benchmarks/SobelFilter.py)."""
+
+from dacapo_tpu.models.kernels import sobel_body
+from examples.common import trace_and_save
+
+
+def trace(dirs="traced", cst_dirs=None, nt=4096, w=64):
+    return trace_and_save("SobelFilter", "c",
+                          lambda img: sobel_body(img, w=w), dirs, cst_dirs)
+
+
+if __name__ == "__main__":
+    print(trace())

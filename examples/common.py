@@ -1,0 +1,64 @@
+"""Shared trace/test harness for the example benchmarks.
+
+Mirrors the reference flow (SURVEY.md §3.1/§3.3): `trace_and_save` is the
+`hc-trace` step (trace -> cleanup pipeline -> traced/<Name>.eir.json +
+_hecate_<Name>.cst); `run_test` is the `hc-test` step (load artifacts,
+encrypt inputs, run the VM, decrypt, report latency + RMS via the runner's
+printer block).
+"""
+
+import os
+import time
+
+import numpy as np
+
+import dacapo_tpu as hc
+from dacapo_tpu.ir import trace as trace_mod
+
+
+def trace_and_save(name, paramstr, body, dirs="traced", cst_dirs=None):
+    cst_dirs = cst_dirs or dirs
+    trace_mod._module.reset()
+    body.__name__ = name
+    hc.func(paramstr)(body)
+    trace_mod.save(dirs, cst_dirs)
+    return os.path.join(dirs, f"{name}.eir.json")
+
+
+def compile_traced(name, pipeline, waterline, profile,
+                   traced_dir="traced", out_dir="optimized"):
+    """The `hopt`/`hbt` step: Earth IR -> scale-managed -> .hevm."""
+    from dacapo_tpu.ir.serialize import load_function
+    from dacapo_tpu.ir.config import load_profile
+    from dacapo_tpu.crypto.params import COMPILER_PROFILES
+    from dacapo_tpu.passes.pipeline import compile_function
+
+    load_profile(COMPILER_PROFILES[profile])
+    fn = load_function(os.path.join(traced_dir, f"{name}.eir.json"))
+    prefix = os.path.join(out_dir, pipeline, f"{name}.{waterline}")
+    compile_function(fn, pipeline, waterline, out_prefix=prefix)
+    return f"{prefix}._hecate_{name}.hevm"
+
+
+def run_test(name, pipeline, waterline, profile, inputs, golden,
+             postprocess=None, traced_dir="traced", out_dir="optimized",
+             jit=False):
+    """Load artifacts, execute encrypted, compare to `golden`, print report."""
+    hevm = hc.HEVM(profile=profile, jit=jit)
+    cst = os.path.join(traced_dir, f"_hecate_{name}.cst")
+    hv = os.path.join(out_dir, pipeline, f"{name}.{waterline}._hecate_{name}.hevm")
+    if not os.path.exists(hv):
+        compile_traced(name, pipeline, waterline, profile, traced_dir, out_dir)
+    hevm.load(cst, hv)
+    for i, dat in enumerate(inputs):
+        hevm.setInput(i, dat)
+    t0 = time.perf_counter_ns()
+    hevm.run()
+    latency = (time.perf_counter_ns() - t0) / 1e9
+    res = hevm.getOutput()
+    if postprocess is not None:
+        res = postprocess(res)
+    err = np.asarray(res, np.float64).ravel() - np.asarray(golden, np.float64).ravel()
+    rms = float(np.sqrt(np.mean(err * err)))
+    hevm.printer(latency, rms)
+    return res, latency, rms

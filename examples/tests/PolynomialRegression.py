@@ -1,0 +1,25 @@
+"""PolynomialRegression golden test (reference examples/tests/
+PolynomialRegression.py)."""
+
+import numpy as np
+
+from dacapo_tpu.models.kernels import polyreg_golden
+from examples.common import run_test
+from examples.benchmarks.PolynomialRegression import trace
+
+
+def run(pipeline="pars", waterline=25, profile=None, nt=4096):
+    profile = profile or "tpu_n14"
+    rng = np.random.default_rng(100)
+    x = rng.uniform(-1, 1, nt)
+    y = 0.5 + 1.5 * x - 0.7 * x * x + rng.uniform(-0.01, 0.01, nt)
+    trace(nt=nt)
+    W = polyreg_golden(x, y, n_mean=nt // 2)
+    return run_test("PolynomialRegression", pipeline, waterline, profile,
+                    [x, y], W,
+                    postprocess=lambda res: [res[i][0] for i in range(3)])
+
+
+if __name__ == "__main__":
+    import sys
+    run(*(sys.argv[1:] or []))
