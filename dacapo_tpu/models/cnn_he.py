@@ -80,6 +80,15 @@ def resnet_postprocess(res, out_dim=10, bb=32):
     return np.asarray(res).ravel()[:out_dim] * bb
 
 
+def cnn_pack_input(x, first_conv, nt=2 ** 16, bb=32, h0=32, w0=32):
+    """MultParPack of an input image given the model's first conv (generic
+    version of resnet_pack_input for the wider zoo; reference
+    tests/{AlexNet,VGG16,...}.py input packing)."""
+    shapes = {"nt": nt, "bb": bb, "ko": 1, "ho": h0, "wo": w0}
+    close = makeClose(CascadeConv(shapes, first_conv))
+    return close["MPP"](x)[0]
+
+
 # ---------------------------------------------------------------- LeNet
 def lenet_he_forward(ctxt, model, nt=2 ** 14, bb=32):
     """LeNet-5-class CNN with square activations (reference

@@ -159,6 +159,16 @@ def shapeClosure(nt, bb, fh, fw, s, hi, ho, wi, wo, ni, no, ci, co,
 
     kk = nt // (hi * ki * wi * ki)
 
+    # Multiplex-units (ki*i2+i1 loop index) per input/output ciphertext:
+    # tiles-per-ct * ki. The reference divides by nt//(hi*wi) or
+    # cint(ci/ni/ki) here, which disagree (and are wrong) for uneven
+    # multi-ciphertext splits; this form is exact for all of them.
+    _upc_in = max(1, nt // (ki * hi * wi))
+    # Output side: channels per output ct = (nt/(ko*ko*ho*wo)) * ko*ko, and
+    # each loop unit spans ki channels, so units per output ct is
+    # nt/(ki*ho*wo) — the loop index stays in *input* multiplex units.
+    _upc_out = max(1, nt // (ki * ho * wo))
+
     # ---- plaintext mask builders ------------------------------------
     def _border_mask(value_in=1.0, value_out=0.0):
         """[fh*fw, nt] validity masks for each filter tap (spatial borders)."""
@@ -289,16 +299,21 @@ def shapeClosure(nt, bb, fh, fw, s, hi, ho, wi, wo, ni, no, ci, co,
                 i3 = ((ki * i2 + i1) % (s * ko)) // s
                 i4 = (ki * i2 + i1) % s
                 i5 = (ki * i2 + i1) // (s * ko)
-                i7 = (ki * i2 + i1) // (nt // (hi * wi))
-                i8 = (ki * i2 + i1) // (nt // (ho * wo))
+                i7 = (ki * i2 + i1) // _upc_in
+                i8 = (ki * i2 + i1) // _upc_out
+                # Mask BEFORE rolling: the DownSelecting mask addresses the
+                # pre-roll (input-layout) slots (reference MaxPool/DwConvBN/
+                # Downsamp all do roll(B * S, off)). `extra` is also in input
+                # layout, so it is indexed by the input ct i7 (the reference
+                # dwconv indexes P[i8], which is wrong when ni != no).
                 mask = sel[i7, i1, i2, :]
                 if sel_scale is not None:
                     mask = mask * sel_scale
                 if extra is not None:
-                    mask = mask * extra[i8]
+                    mask = mask * extra[i7]
                 off = (ki * ki * hi * wi * (i2 - i5) + ki * wi * (i1 - i3)
                        - ki * i4 + (i8 - i7) * nt)
-                c[i8] = c[i8] + roll(b_of(i7), -off) * mask
+                c[i8] = c[i8] + roll(b_of(i7) * mask, -off)
         return c
 
     def _duplicate(c, count=None):
@@ -329,7 +344,14 @@ def shapeClosure(nt, bb, fh, fw, s, hi, ho, wi, wo, ni, no, ci, co,
                         b = b + taps[ii, i1, i2] * masks[ii, i3, i1, i2, :]
             csum = SumSlots(b, ki, 1)
             csum = SumSlots(csum, ki, ki * wi)
-            csum = SumSlots(csum, ti, ki * ki * hi * wi)
+            # When ni > 1, the per-ct partial sums already overlay tile j of
+            # ct k with tile j + nt/plane of ct k+1 on the same slots, so the
+            # tile reduction only spans the planes of ONE ciphertext. The
+            # reference sums all `ti` tiles here (MPCB.py:499), which wraps
+            # past nt and double-counts whenever ti*ki*ki*hi*wi > nt — its
+            # multi-ciphertext convs are numerically wrong; we fix it.
+            csum = SumSlots(csum, min(ti, nt // (ki * ki * hi * wi)),
+                            ki * ki * hi * wi)
             for i4 in range(min(pi, co - pi * i3)):
                 i = pi * i3 + i4
                 i6 = i % (ko * ko * nt // (hi * wi * ki * ki))
@@ -354,13 +376,16 @@ def shapeClosure(nt, bb, fh, fw, s, hi, ho, wi, wo, ni, no, ci, co,
         masks = DwMultWgt(u)
         p_in = ParInBNConst(g)
         taps = _tap_rotations(a)
-        b = Empty()
+        # Depthwise has no cross-channel sum, so collapsing the per-ct
+        # masked taps into one vector (reference MPCB.py:440-444) corrupts
+        # colliding tiles when ni > 1 — keep one partial sum per input ct.
+        # NOTE: reference indexes i7/i8 with ceil(ci/ni) here (MPCB.py:448-455)
+        b = np.full((ni,), Empty(), dtype=object)
         for ii in range(ni):
             for i1 in range(fh):
                 for i2 in range(fw):
-                    b = b + taps[ii, i1, i2] * masks[ii, i1, i2, :]
-        # NOTE: reference indexes i7/i8 with ceil(ci/ni) here (MPCB.py:448-455)
-        c = _repack_strided(lambda i7: b, extra=p_in)
+                    b[ii] = b[ii] + taps[ii, i1, i2] * masks[ii, i1, i2, :]
+        c = _repack_strided(lambda i7: b[i7], extra=p_in)
         c = _duplicate(c)
         for ii in range(no):
             c[ii] = c[ii] + ParBNConst(h)[ii, :] / bb
@@ -374,8 +399,8 @@ def shapeClosure(nt, bb, fh, fw, s, hi, ho, wi, wo, ni, no, ci, co,
                 i3 = ((ki * i2 + i1) % (2 * ko)) // 2
                 i4 = (ki * i2 + i1) % 2
                 i5 = (ki * i2 + i1) // (2 * ko)
-                i7 = (ki * i2 + i1) // cint(ci / ni / ki)
-                i8 = (ki * i2 + i1) // cint(co / no / ki)
+                i7 = (ki * i2 + i1) // _upc_in
+                i8 = (ki * i2 + i1) // _upc_out
                 off = (ki * ki * hi * wi * (i2 - i5) + ki * wi * (i1 - i3)
                        - ki * i4 + (i8 - i7) * nt)
                 c[i8] = c[i8] + roll(a[i7] * sel[i7, i1, i2, :], -off)
@@ -403,8 +428,8 @@ def shapeClosure(nt, bb, fh, fw, s, hi, ho, wi, wo, ni, no, ci, co,
         c = np.full((no,), Empty(), dtype=object)
         for i1 in range(ki):
             for i2 in range(ti):
-                i7 = (ki * i2 + i1) // (nt // (hi * wi))
-                i8 = (ki * i2 + i1) // (nt // (ho * wo))
+                i7 = (ki * i2 + i1) // _upc_in
+                i8 = (ki * i2 + i1) // _upc_out
                 off = (ki * ki * hi * wi * i2 + ki * wi * i1
                        - ki * (ki * i2 + i1) + (i8 - i7) * nt)
                 c[i8] = c[i8] + roll(b[i7], -off) * sel[i7, ki * i2 + i1, :]
@@ -434,13 +459,15 @@ def shapeClosure(nt, bb, fh, fw, s, hi, ho, wi, wo, ni, no, ci, co,
                 i3 = ((ki * i2 + i1) % (2 * ko)) // 2
                 i4 = (ki * i2 + i1) % 2
                 i5 = (ki * i2 + i1) // (2 * ko)
-                i7 = (ki * i2 + i1) // (nt // (hi * wi))
-                i8 = (ki * i2 + i1) // (nt // (ho * wo))
+                i7 = (ki * i2 + i1) // _upc_in
+                i8 = (ki * i2 + i1) // _upc_out
                 off = (ki * ki * hi * wi * (i2 - i5) + ki * wi * (i1 - i3)
                        - ki * i4 + (i8 - i7) * nt)
                 c[i8] = c[i8] + roll(b[i7] * (sel[i7, i1, i2, :] / (fh * fw)), -off)
-        for j in range(fint(np.log2(po))):
-            c[0] = c[0] + roll(c[0], (1 << j) * (nt // po))
+        # duplicate every output ct (reference MPCB.py only duplicates c[0])
+        for i in range(no):
+            for j in range(fint(np.log2(po))):
+                c[i] = c[i] + roll(c[i], (1 << j) * (nt // po))
         return c
 
     def MaxPool(a):
@@ -477,7 +504,13 @@ def shapeClosure(nt, bb, fh, fw, s, hi, ho, wi, wo, ni, no, ci, co,
     def ConcatSelecting():
         tt = min(co * wo * ho, nt)
         rem = (ci * wi * hi) % tt
-        front = np.concatenate([np.ones(tt - rem), np.zeros(rem)])
+        # `rem` is the occupied slot count of the first stream's last ct, so
+        # the boundary ct keeps slots [0, rem) from it and fills [rem, tt)
+        # from the (right-rolled) second stream. The reference builds the
+        # masks the other way round (ones(tt-rem), MPCB.py:298) which
+        # scrambles any concat whose streams don't end on a ct boundary
+        # (SqueezeNet fire6/7 at nt=2^14); we fix the orientation.
+        front = np.concatenate([np.ones(rem), np.zeros(tt - rem)])
         back = 1.0 - front
         front = _pad_axis(front, 0, nt // po - tt)
         back = _pad_axis(back, 0, nt // po - tt)
