@@ -15,6 +15,9 @@ from .earth import Function, Op, ScaleType, Value
 
 
 def write_cst(payloads, path):
+    from ..vm import native
+    if native.write_cst_native(payloads, path):
+        return
     with open(path, "wb") as f:
         f.write(struct.pack("<q", len(payloads)))
         for arr in payloads:
@@ -24,6 +27,10 @@ def write_cst(payloads, path):
 
 
 def read_cst(path):
+    from ..vm import native
+    out = native.read_cst_native(path)
+    if out is not None:
+        return out
     out = []
     with open(path, "rb") as f:
         (count,) = struct.unpack("<q", f.read(8))

@@ -64,6 +64,12 @@ class HEVMProgram:
         return sorted({op.rhs for op in self.ops if op.opcode == OP_ROTATE})
 
     def save(self, path):
+        from . import native
+        if native.save_program(self, path):
+            return path
+        return self._save_py(path)
+
+    def _save_py(self, path):
         hdr_size = 24
         body_ints = (
             list(self.arg_scale) + list(self.arg_level)
@@ -84,6 +90,14 @@ class HEVMProgram:
 
     @classmethod
     def load(cls, path):
+        from . import native
+        p = native.load_program(path, cls, HEVMOp)
+        if p is not None:
+            return p
+        return cls._load_py(path)
+
+    @classmethod
+    def _load_py(cls, path):
         p = cls()
         with open(path, "rb") as f:
             magic, hdr_size, argn, resn = struct.unpack("<IIQQ", f.read(24))
@@ -103,6 +117,61 @@ class HEVMProgram:
                 oc, dst, lhs, rhs = struct.unpack("<HHHH", f.read(8))
                 p.ops.append(HEVMOp(oc, dst, lhs, rhs))
         return p
+
+    def validate(self):
+        """-1 if the stream is well-formed, else the index of the first bad
+        op (-2: bad result descriptor). Uses the native core when present."""
+        from . import native
+        rc = native.validate_program(self)
+        if rc is not None:
+            return rc
+        return self._validate_py()
+
+    def _validate_py(self):
+        nct, npt = self.num_ctxt, self.num_ptxt
+        cdef = [False] * nct
+        pdef = [False] * npt
+        for i in range(min(self.arg_length, nct)):
+            cdef[i] = True
+        two_c = (OP_ADDCC, OP_MULCC)
+        c_p = (OP_ADDCP, OP_MULCP)
+        unary = (OP_ROTATE, OP_NEGATE, OP_RESCALE, OP_MODSWITCH,
+                 OP_UPSCALE, OP_BOOTSTRAP)
+        for i, op in enumerate(self.ops):
+            if op.opcode == OP_ALLOC:
+                continue
+            if op.opcode == OP_ENCODE:
+                if op.dst >= npt:
+                    return i
+                pdef[op.dst] = True
+            elif op.opcode in unary:
+                if op.dst >= nct or op.lhs >= nct or not cdef[op.lhs]:
+                    return i
+                cdef[op.dst] = True
+            elif op.opcode in two_c:
+                if (op.dst >= nct or op.lhs >= nct or op.rhs >= nct
+                        or not cdef[op.lhs] or not cdef[op.rhs]):
+                    return i
+                cdef[op.dst] = True
+            elif op.opcode in c_p:
+                if (op.dst >= nct or op.lhs >= nct or op.rhs >= npt
+                        or not cdef[op.lhs] or not pdef[op.rhs]):
+                    return i
+                cdef[op.dst] = True
+            else:
+                return i
+        for r in self.res_dst:
+            if r >= nct or not cdef[r]:
+                return -2
+        return -1
+
+    def reuse_compact(self):
+        """Native liveness-based register compaction over the bytecode (the
+        reference's ReuseBuffer re-done on the artifact); returns a new
+        program, or self unchanged if the native core is unavailable."""
+        from . import native
+        p = native.reuse_buffers_program(self, type(self), HEVMOp)
+        return self if p is None else p
 
     def dump(self, limit=None):
         lines = [
