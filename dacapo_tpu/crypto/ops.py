@@ -40,6 +40,33 @@ class Evaluator:
         self.n = ctx.n
         self._tab_cache = {}
         self._fn_cache = {}
+        self._pallas_ntt = None
+        self._ntt_backend = self._pick_ntt_backend()
+
+    def _pick_ntt_backend(self):
+        """'pallas' on real TPU hardware (fused single-pass kernel), 'xla'
+        otherwise. Override with DACAPO_TPU_NTT=pallas|xla."""
+        import os
+
+        mode = os.environ.get("DACAPO_TPU_NTT", "auto")
+        if mode in ("pallas", "xla"):
+            return mode
+        if self.n < 1024:            # kernel layout needs >= 8 sublane rows
+            return "xla"
+        try:
+            import jax
+
+            plat = jax.devices()[0].platform
+        except Exception:
+            return "xla"
+        return "pallas" if plat in ("tpu", "axon") else "xla"
+
+    def _get_pallas_ntt(self):
+        if self._pallas_ntt is None:
+            from .pallas.ntt_kernel import PallasNTT
+
+            self._pallas_ntt = PallasNTT(self.ctx)
+        return self._pallas_ntt
 
     def _jit(self, key, make_fn):
         fn = self._fn_cache.get(key)
@@ -77,11 +104,15 @@ class Evaluator:
     # ---------------------------------------------------------------- NTT
     def ntt(self, x, rows):
         rows = tuple(rows)
+        if self._ntt_backend == "pallas":
+            return self._get_pallas_ntt()(x, rows, inverse=False)
         tw, tws, _, _, q, _, _ = self._rows(rows)
         return self._jit(("ntt", rows, x.shape), lambda: lambda y: ntt_fwd(y, tw, tws, q))(x)
 
     def intt(self, x, rows):
         rows = tuple(rows)
+        if self._ntt_backend == "pallas":
+            return self._get_pallas_ntt()(x, rows, inverse=True)
         _, _, itw, itws, q, ninv, ninvs = self._rows(rows)
         return self._jit(
             ("intt", rows, x.shape), lambda: lambda y: ntt_inv(y, itw, itws, q, ninv, ninvs)

@@ -122,9 +122,9 @@ def _ntt_kernel(slot_ref, q_ref, ninv_ref, ninvs_ref, x_ref, tw_ref,
     o_ref[0] = x
 
 
-@functools.partial(jax.jit, static_argnames=("logn", "inverse"))
+@functools.partial(jax.jit, static_argnames=("logn", "inverse", "interpret"))
 def _ntt_pallas(x, slots, planes_tw, planes_tws, qv, ninv, ninvs,
-                logn, inverse):
+                logn, inverse, interpret=False):
     b, n = x.shape
     r = n // _LANES
     u, s = planes_tw.shape[:2]
@@ -159,17 +159,25 @@ def _ntt_pallas(x, slots, planes_tw, planes_tws, qv, ninv, ninvs,
             flops=25 * logn * b * n, transcendentals=0,
             bytes_accessed=(2 * b + 2 * u * s) * n * 4,
         ),
+        interpret=interpret,
     )(slots, qv, ninv, ninvs, x3, tw4, tws4)
     return out.reshape(b, n)
 
 
 class PallasNTT:
-    """Per-context fused-NTT dispatcher with per-prime plane caches."""
+    """Per-context fused-NTT dispatcher with per-prime plane caches.
 
-    def __init__(self, ctx):
+    Device arrays (stage planes + per-row scalars) are cached per rows-tuple
+    so repeated calls — including from inside outer jit traces, where they
+    close over as constants — never re-upload the multi-MB twiddle stacks.
+    """
+
+    def __init__(self, ctx, interpret=False):
         self.ctx = ctx
         self.logn = ctx.logn
-        self._plane_cache = {}   # (prime_row, inverse) -> (tw, tws) [S, N]
+        self.interpret = interpret
+        self._plane_cache = {}   # (prime_row, inverse) -> (tw, tws) [S, N] np
+        self._call_cache = {}    # (rows tuple, inverse) -> device arg bundle
 
     def _planes(self, rows, inverse):
         host = self.ctx.host_tables
@@ -192,15 +200,26 @@ class PallasNTT:
         slots = np.array([slot_of[r] for r in rows], dtype=np.int32)
         return np.stack(tws), np.stack(twss), slots
 
+    def _args(self, rows, inverse):
+        key = (rows, inverse)
+        got = self._call_cache.get(key)
+        if got is None:
+            host = self.ctx.host_tables
+            tw, tws, slots = self._planes(rows, inverse)
+            idx = np.asarray(rows)
+            # Concrete even when first touched inside an outer jit trace
+            # (plain jnp.asarray would stage a device_put and leak a tracer
+            # into the cache).
+            with jax.ensure_compile_time_eval():
+                got = self._call_cache[key] = tuple(
+                    jnp.asarray(v) for v in (
+                        slots, tw, tws, host["q"][idx],
+                        host["ninv"][idx], host["ninv_shoup"][idx],
+                    )
+                )
+        return got
+
     def __call__(self, x, rows, inverse=False):
-        rows = list(rows)
-        host = self.ctx.host_tables
-        tw, tws, slots = self._planes(rows, inverse)
-        idx = np.asarray(rows)
-        qv = host["q"][idx]
-        ninv = host["ninv"][idx]
-        ninvs = host["ninv_shoup"][idx]
-        return _ntt_pallas(x, jnp.asarray(slots), jnp.asarray(tw),
-                           jnp.asarray(tws), jnp.asarray(qv),
-                           jnp.asarray(ninv), jnp.asarray(ninvs),
-                           self.logn, inverse)
+        slots, tw, tws, qv, ninv, ninvs = self._args(tuple(rows), inverse)
+        return _ntt_pallas(x, slots, tw, tws, qv, ninv, ninvs,
+                           self.logn, inverse, self.interpret)
