@@ -22,11 +22,21 @@ class EmulatedBootstrapper:
             "emulated bootstrapping needs the secret key (full VM mode)"
 
     def bootstrap(self, data, nl, scale, target_level):
-        from .scheme import Ciphertext
+        """Decrypt -> re-encrypt in the COEFFICIENT domain: no slot FFT
+        round-trip, just a CRT lift (vectorized int64 — the planner pins
+        bootstrap operands to the chain bottom, see refine_level) and an
+        RNS re-expansion + fresh encryption of the same polynomial."""
+        from .scheme import Ciphertext, Plaintext
         s = self.s
-        vals = s.decrypt(Ciphertext(data, scale))
+        planes = s.decrypt_planes(Ciphertext(data, scale))
+        coeffs = s.encoder.crt_lift(planes)          # centered m + e, float64
         nl2 = target_level + 1
-        ct = s.encrypt(vals, scale=scale, nl=nl2)
+        ci = coeffs.astype(np.int64)
+        out = np.empty((nl2, s.ctx.n), dtype=np.uint32)
+        for i in range(nl2):
+            out[i] = np.mod(ci, s.ctx.q_primes[i]).astype(np.uint32)
+        pt = Plaintext(s.ev.ntt(jnp.asarray(out), list(range(nl2))), scale)
+        ct = s.encrypt_pt(pt)
         return ct.data, (nl2, scale)
 
 

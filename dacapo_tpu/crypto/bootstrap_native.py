@@ -39,6 +39,10 @@ class BootstrapConfig:
     r: int = 3            # double-angle iterations
     degree: int = 30      # Chebyshev degree for the base cos approx
     baby: int = 8         # Chebyshev BSGS baby-step count (power of two)
+    radix: int = 5        # butterfly stages merged per CtS/StC level
+    #   Each merged level costs 1 multiplicative depth and ~2*sqrt(2^radix)
+    #   hoisted rotations; total levels = ceil(log2(slots)/radix). radix=5
+    #   -> 3 levels at N=2^16, matching HEaaN-class FFT bootstrapping.
 
 
 # --------------------------------------------------------------------------
@@ -133,23 +137,33 @@ class CtVal:
 # --------------------------------------------------------------------------
 
 class SlotLinearTransform:
-    """z -> M z for a dense complex matrix M [s, s], BSGS diagonal method.
+    """z -> M z for a sparse-diagonal complex matrix, BSGS diagonal method.
 
     out = sum_g rot_{g*b}( sum_j rot_{-g*b}(diag_{g*b+j}) * rot_j(z) )
 
     Baby rotations rot_j(z) share one hoisted ModUp (rotate_batch); the
     plaintext diagonals are encoded lazily per (level, scale) signature.
+    `diags`: {offset: complex [s]} with convention (Mz)_j = sum_d
+    diags[d][j] * z[(j+d) % s] (dft_factor level dicts), or a dense [s, s]
+    matrix for small ad-hoc transforms.
     """
 
-    def __init__(self, bs, mat):
+    def __init__(self, bs, mat=None, diags=None, s=None):
         self.bs = bs
-        s = mat.shape[0]
+        if diags is None:
+            s = mat.shape[0]
+            diags = {}
+            for off in range(s):
+                d = np.array([mat[k, (k + off) % s] for k in range(s)])
+                if np.max(np.abs(d)) > 1e-12 * max(1.0, np.max(np.abs(mat))):
+                    diags[off] = d
+        else:
+            s = s or bs.s.ctx.config.n_slots
         self.s = s
-        self.diags = {}
-        for off in range(s):
-            d = np.array([mat[k, (k + off) % s] for k in range(s)])
-            if np.max(np.abs(d)) > 1e-12 * max(1.0, np.max(np.abs(mat))):
-                self.diags[off] = d
+        self.diags = {
+            off: np.asarray(v) for off, v in diags.items()
+            if np.max(np.abs(v)) > 1e-15
+        }
         offs = sorted(self.diags)
         b = max(1, int(np.ceil(np.sqrt(len(offs)))))
         # group offsets by giant step g*b
@@ -206,21 +220,13 @@ class NativeBootstrapper:
         self.cfg = cfg or BootstrapConfig()
         ctx = scheme.ctx
         self.q0 = ctx.q_primes[0]
-        s = ctx.config.n_slots
-        # twisted DFT A[j,k] = zeta^{5^j k}, zeta = exp(i*pi/N)
-        e = np.empty(s, dtype=np.int64)
-        g = 1
-        for j in range(s):
-            e[j] = g
-            g = (g * 5) % (2 * ctx.n)
-        k = np.arange(s, dtype=np.int64)
-        ang = (np.pi / ctx.n) * (e[:, None] * k[None, :] % (2 * ctx.n))
-        A = np.exp(1j * ang)
-        self.A = A
-        self.A_inv = np.linalg.inv(A)
+        # Slot transforms are the FFT-factored twisted DFT (dft_factor.py):
+        # ceil(log2 s / radix) sparse-diagonal levels per direction instead
+        # of one dense s x s matrix (which is O(s^2) memory — infeasible at
+        # N=2^16). Bit-reversal stays implicit: CtS leaves coefficients in
+        # brv order, EvalMod is pointwise, StC undoes it.
         self._cts = None
-        self._stc_re = None
-        self._stc_im = None
+        self._stc = None
         self._cheb = None
         self._enc_cache = {}
 
@@ -287,8 +293,13 @@ class NativeBootstrapper:
         return self._cheb
 
     def _eval_cheb_bsgs(self, t1: CtVal, coeffs):
-        """Evaluate sum_i coeffs[i] T_i(t1) with Paterson-Stockmeyer over the
-        Chebyshev basis. t1 must hold values in [-1, 1]."""
+        """Evaluate sum_i coeffs[i] T_i(t1), Paterson-Stockmeyer over the
+        Chebyshev basis, with LEVEL-UNIFORM scheduling: all baby/giant powers
+        are normalized to one (level, scale) base, every leaf sits at rank 1
+        below the base, and each PS recursion adds exactly one level — total
+        depth ceil(log2 b) + 1 + ceil(log2(deg/b)) + 1 instead of the
+        cascading alignments a naive walk pays (each stray mismatch costs a
+        whole extra level via alignment const-muls)."""
         b = self.cfg.baby
         deg = len(coeffs) - 1
 
@@ -304,7 +315,6 @@ class NativeBootstrapper:
                 nl = min(a_.nl, b_.nl)
                 prod = a_.drop_to(nl).mul_ct(b_.drop_to(nl)).double_val()
                 t1d = t1.drop_to(prod.nl)
-                # align scales: const-mul t1 onto prod's scale
                 t1a = t1d.mul_const(1.0, prod.scale) if abs(
                     t1d.scale / prod.scale - 1) > 1e-9 else t1d
                 nl_c = min(prod.nl, t1a.nl)
@@ -315,64 +325,64 @@ class NativeBootstrapper:
             T[g] = h.square().double_val().add_const(-1.0)
             g *= 2
 
+        # Level invariants (no separate normalize pass — the leaf const-muls
+        # double as normalization): leaves output at nl_leaf - 1 on a common
+        # scale; giants T_{2^k b} sit at nl_leaf - k + ... >= any quotient
+        # that multiplies them, so each PS recursion costs exactly 1 level.
+        delta = max(t1.scale, float(2.0 ** self.s.ctx.config.prime_bits))
+        nl_leaf = min(T[k].nl for k in T if k <= b)
+
+        def leaf(c):
+            terms = [(i, c[i]) for i in range(1, len(c)) if abs(c[i]) > 1e-15]
+            acc = None
+            for i, ci in terms:
+                term = T[i].drop_to(nl_leaf).mul_const(ci, delta)
+                acc = term if acc is None else acc.add(term)
+            if acc is None:
+                acc = T[1].drop_to(nl_leaf).mul_const(0.0, delta)
+            if abs(c[0]) > 1e-15:
+                acc = acc.add_const(complex(c[0]))
+            return acc
+
         def eval_poly(c):
-            """Returns CtVal for sum c[i] T_i; len(c)-1 <= deg."""
+            """CtVal for sum c[i] T_i at exactly rank(deg c) below base."""
             d = len(c) - 1
             while d > 0 and abs(c[d]) < 1e-15:
                 d -= 1
             c = c[: d + 1]
             if d <= b:
-                return self._leaf(c, T)
+                return leaf(c)
             gg = b
             while gg * 2 <= d:
                 gg *= 2
             tg = np.zeros(gg + 1)
             tg[gg] = 1.0
             q, r = C.chebdiv(c, tg)
-            qv = eval_poly(q)
-            rv = eval_poly(r)
-            Tg = T[gg]
-            nl = min(qv.nl, Tg.nl)
-            prod = qv.drop_to(nl).mul_ct(Tg.drop_to(nl))
-            nl2 = min(prod.nl, rv.nl)
-            rv = rv.drop_to(nl2)
-            prod = prod.drop_to(nl2)
-            if abs(rv.scale / prod.scale - 1) > 1e-9:
-                rv = rv.mul_const(1.0, prod.scale)
-                nl3 = min(prod.nl, rv.nl)
-                prod, rv = prod.drop_to(nl3), rv.drop_to(nl3)
+            qv = eval_poly(q)           # rank(d) - 1
+            rv = eval_poly(r)           # rank(deg r) <= rank(d) - 1
+            prod = qv.mul_ct(T[gg].drop_to(qv.nl))     # rank(d)
+            # rv sits >= 1 level above prod (rank(deg r) <= rank(d) - 1);
+            # one const-mul lands it exactly on (prod.nl, prod.scale)
+            rv = rv.drop_to(prod.nl + 1).mul_const(1.0, prod.scale)
             return prod.add(rv)
 
         return eval_poly(np.asarray(coeffs, dtype=np.complex128))
 
-    def _leaf(self, c, T):
-        """sum_{i<=b} c[i] T_i as one level of const-muls onto a common scale."""
-        terms = [(i, c[i]) for i in range(1, len(c)) if abs(c[i]) > 1e-15]
-        nl_c = min([T[i].nl for i, _ in terms], default=T[1].nl)
-        target = None
-        for i, _ in terms:
-            ti = T[i].drop_to(nl_c)
-            cand = ti.scale  # post-mul target = same scale (const encodes carry q)
-            target = cand if target is None else min(target, cand)
-        acc = None
-        for i, ci in terms:
-            ti = T[i].drop_to(nl_c)
-            term = ti.mul_const(ci, target)
-            acc = term if acc is None else acc.add(term)
-        if acc is None:
-            # constant polynomial: encode on T1's ladder
-            acc = T[1].drop_to(nl_c).mul_const(0.0, target or T[1].scale)
-        if abs(c[0]) > 1e-15:
-            acc = acc.add_const(complex(c[0]))
-        return acc
-
     # ----------------------------------------------------------- pipeline
-    def _transforms(self, delta_in):
+    def _transforms(self):
         if self._cts is None:
-            self._cts = SlotLinearTransform(self, self.A_inv)
-            self._stc_re = SlotLinearTransform(self, self.A)
-            self._stc_im = SlotLinearTransform(self, 1j * self.A)
-        return self._cts, self._stc_re, self._stc_im
+            from .dft_factor import build_levels
+            n = self.s.ctx.n
+            radix = self.cfg.radix
+            self._cts = [
+                SlotLinearTransform(self, diags=d)
+                for d in build_levels(n, radix, inverse=True)
+            ]
+            self._stc = [
+                SlotLinearTransform(self, diags=d)
+                for d in build_levels(n, radix, inverse=False)
+            ]
+        return self._cts, self._stc
 
     def bootstrap(self, data, nl, scale, target_level):
         """data: uint32 [2, nl, N]; returns (data', (nl', scale'))."""
@@ -385,7 +395,7 @@ class NativeBootstrapper:
         raised = self.mod_raise(data, nl)
         ct = CtVal(self, raised, delta)
 
-        cts, stc_re, stc_im = self._transforms(delta)
+        cts_levels, stc_levels = self._transforms()
 
         # Internal working scale ~= prime size: ct*ct squares then satisfy
         # scale^2/q_top ~= scale, so EvalMod's double-angle chain is
@@ -394,8 +404,11 @@ class NativeBootstrapper:
         # HEAAN_HEVM.cpp:313-343).
         delta_bs = float(2.0 ** ctx.config.prime_bits)
 
-        # CoeffToSlot: u = A^{-1} z ; values stay coeff/delta
-        u = cts.apply(ct, delta_bs)
+        # CoeffToSlot: u = A^{-1} z (coeffs in brv slot order); one level
+        # per merged butterfly group
+        u = ct
+        for t in cts_levels:
+            u = t.apply(u, delta_bs)
 
         # Re/Im split (the 1/2 rides the metadata scale)
         uc = u.conj()
@@ -420,19 +433,18 @@ class NativeBootstrapper:
         v_re = evalmod(s_re, 1.0)
         v_im = evalmod(s_im, -1j)
 
-        # SlotToCoeff on both legs; fold q0/delta so output ints ~= m_int
+        # Repack w = v_re + i*v_im (one const-mul level on each leg — far
+        # cheaper than a second full StC chain for the imaginary part),
+        # then ONE factored SlotToCoeff: out = A w.
         nl_c = min(v_re.nl, v_im.nl)
         v_re = v_re.drop_to(nl_c)
         v_im = v_im.drop_to(nl_c)
-        if abs(v_im.scale / v_re.scale - 1) > 1e-9:
-            v_im = v_im.mul_const(1.0, v_re.scale)
-            nl_c = min(v_re.nl, v_im.nl)
-            v_re, v_im = v_re.drop_to(nl_c), v_im.drop_to(nl_c)
+        target0 = min(v_re.scale, v_im.scale)
+        w = v_re.mul_const(1.0, target0).add(v_im.mul_const(1j, target0))
 
-        target = v_re.scale  # post-StC scale before final declaration
-        out_re = stc_re.apply(v_re, target)
-        out_im = stc_im.apply(v_im, target)
-        out = out_re.add(out_im)
+        out = w
+        for t in stc_levels:
+            out = t.apply(out, target0)
 
         # out value = z_orig * (delta/q0)... declare true scale:
         # underlying ints = out.scale * value = out.scale*(delta/q0)*z  ->

@@ -75,9 +75,28 @@ class Encoder:
         return self.values_from_coeffs(coeffs, scale, complex_out)
 
     def crt_lift(self, planes: np.ndarray) -> np.ndarray:
-        """CRT-recombine residues to centered big ints, return as float64."""
+        """CRT-recombine residues to centered big ints, return as float64.
+
+        nl <= 2 uses vectorized Garner in int64 (q0*q1 < 2^62 for 30-bit
+        primes) — the hot path for decrypt/bootstrap-emulation, since
+        refine_return_values pins outputs and bootstrap operands to the
+        bottom of the chain. Larger nl falls back to exact object ints.
+        """
         nl = planes.shape[0]
         primes = self.ctx.q_primes[:nl]
+        if nl == 1:
+            q0 = np.int64(primes[0])
+            v = planes[0].astype(np.int64)
+            return np.where(v > q0 // 2, v - q0, v).astype(np.float64)
+        if nl == 2 and primes[0].bit_length() + primes[1].bit_length() <= 61:
+            q0, q1 = (int(primes[0]), int(primes[1]))
+            inv = pow(q0, -1, q1)
+            r0 = planes[0].astype(np.int64)
+            r1 = planes[1].astype(np.int64)
+            t = ((r1 - r0) % q1) * inv % q1           # int64: q1^2 < 2^62
+            v = r0 + np.int64(q0) * t                 # < q0*q1 < 2^61
+            bigq = q0 * q1
+            return np.where(v > bigq // 2, v - bigq, v).astype(np.float64)
         bigq = 1
         for q in primes:
             bigq *= q

@@ -139,6 +139,114 @@ def _sim_pars_walk(fn: Function, waterline, from_opid, cfg, on_op):
     fn.ops = w.new_ops
 
 
+# ----------------------------------------------------- segment extraction
+
+def extract_segment(fn: Function, ca, frm, to, segment_input, input_tys,
+                    btp_targets, segment_return, cfg):
+    """Directly build the [frm, to] segment function.
+
+    Equivalent to the reference's clone -> BootstrapPlacement ->
+    CodeSegmentation chain (DaCapoPlanner.cpp:68-85) but O(segment) instead
+    of O(|function|): the DP runs this per candidate edge, so whole-function
+    clones dominated compile time (ResNet: 18.7k ops x thousands of edges).
+
+    * args = original fn.args + one arg per `segment_input` opid, typed by
+      `input_tys` (orig-arg types first, mirroring the DP's segment_inputType
+      layout).
+    * each cipher arg whose opid is in `btp_targets` gets an earth.bootstrap
+      preamble op (BootstrapPlacement semantics at the cut).
+    * ops with opid in (frm, to] are cloned; plain-producing defs before the
+      cut (constants and folded plaintext chains) are pulled in recursively.
+    * returns = segment_return opids (bootstrap results preferred); empty
+      segment_return keeps the original returns (tail segment).
+    """
+    from ..ir.earth import Value
+
+    n_ops = len(fn.ops)
+    lo = max(0, frm)                      # opid i <-> fn.ops[i-1]
+    hi = min(to, n_ops)
+    tset = set(btp_targets)
+
+    vmap = {}
+    args = []
+    for a in fn.args:
+        na = Value(a.ty, arg_index=a.arg_index)
+        vmap[a] = na
+        args.append(na)
+    new_ops = []
+    boots = {}
+    for opid, tyj in zip(segment_input, input_tys[len(fn.args):]):
+        src = fn.ops[opid - 1].result
+        arg = Value(ScaleType(bool(tyj[0]), tyj[1], tyj[2]),
+                    arg_index=len(args))
+        args.append(arg)
+        vmap[src] = arg
+        if opid in tset and src.ty.is_cipher:
+            btp = Op("bootstrap", [arg], {"targetLevel": 0, "opid": opid},
+                     arg.ty.switch_level(0), fn.ops[opid - 1].loc)
+            new_ops.append(btp)
+            vmap[src] = btp.result
+            boots[opid] = btp.result
+
+    def pull_plain(v):
+        """Clone a pre-cut non-cipher def chain (constants, folded plains)."""
+        if v in vmap:
+            return vmap[v]
+        dop = v.def_op
+        nop = Op(dop.opcode, [pull_plain(x) for x in dop.operands],
+                 dict(dop.attrs), dop.ty, dop.loc)
+        new_ops.append(nop)
+        vmap[v] = nop.result
+        return nop.result
+
+    pulled_at = len(new_ops)
+    body = []
+    for i in range(lo, hi):
+        op = fn.ops[i]
+        opers = []
+        for v in op.operands:
+            m = vmap.get(v)
+            if m is None:
+                assert not v.ty.is_cipher, (
+                    f"cipher value (opid {v.def_op.attrs.get('opid')}) "
+                    f"crosses cut {frm} outside live-outs")
+                m = pull_plain(v)
+            opers.append(m)
+        nop = Op(op.opcode, opers, dict(op.attrs), op.ty, op.loc)
+        vmap[op.result] = nop.result
+        body.append(nop)
+        opid = i + 1
+        if opid in tset and op.ty.is_cipher:
+            btp = Op("bootstrap", [nop.result],
+                     {"targetLevel": 0, "opid": opid},
+                     nop.ty.switch_level(0), op.loc)
+            body.append(btp)
+            vmap[op.result] = btp.result
+            boots[opid] = btp.result
+
+    # plain pulls must precede their users: they were appended to new_ops
+    # during body construction but belong before it; splice stable.
+    preamble, pulls = new_ops[:pulled_at], new_ops[pulled_at:]
+    ops = preamble + pulls + body
+
+    if segment_return:
+        returns = [boots.get(r, vmap[fn.ops[r - 1].result])
+                   for r in segment_return]
+        mid = True
+    else:
+        # tail segment: returns defined inside the slice (or original args)
+        returns = [vmap.get(v, v) for v in fn.returns]
+        mid = False
+
+    seg = Function(fn.name, args, ops, returns, {})
+    seg.attrs["cutted_edge"] = [frm, to]
+    seg.attrs["segment_input"] = list(segment_input)
+    seg.attrs["segment_inputType"] = list(input_tys)
+    seg.attrs["is_mid_segment"] = mid
+    dce(seg)
+    return seg
+
+
 # ----------------------------------------------------------- value info
 
 @dataclass
@@ -279,10 +387,12 @@ def bypass_detection(fn: Function, ca: CandidateAnalysis, waterline,
                      threshold=0.5, cfg=None):
     cfg = cfg or current_config()
     for frm in ca.edges:
-        dup, _ = fn.clone()
-        dup.attrs["btp_target"] = list(ca.values[frm].live_outs)
-        bootstrap_placement(dup, cfg)
-        for a in dup.args:
+        live = ca.values[frm].live_outs
+        input_tys = [_ty_json(a.ty.switch_scale(waterline)) for a in fn.args]
+        input_tys += [_ty_json(fn.ops[o - 1].ty) for o in live]
+        dup = extract_segment(fn, ca, frm, ca.ret_opid, live, input_tys,
+                              live, [], cfg)
+        for a in dup.args[: len(fn.args)]:
             a.ty = a.ty.switch_scale(waterline)
 
         def on_op(op, opid, frm=frm):
@@ -403,17 +513,13 @@ def dacapo_plan(fn: Function, waterline, output_val=0, config=None,
         for frm in ca.to_from.get(to, []):
             if frm not in best:
                 continue
-            dup, _ = fn.clone()
-            dup.attrs["cutted_edge"] = [frm, to]
-            dup.attrs["btp_target"] = ca.get_targets(frm, set_num)
-            dup.attrs["segment_input"] = list(ca.values[frm].live_outs)
-            dup.attrs["segment_inputType"] = list(best[frm][2])
-            dup.attrs["segment_return"] = list(ca.values[to].live_outs)
-            dup.attrs["is_mid_segment"] = True
-            dup.attrs["segment_returnBypasses"] = ca.bypass_type_of_live_outs(to)
             try:
-                bootstrap_placement(dup, cfg)
-                code_segmentation(dup, cfg)
+                dup = extract_segment(
+                    fn, ca, frm, to, list(ca.values[frm].live_outs),
+                    list(best[frm][2]), ca.get_targets(frm, set_num),
+                    list(ca.values[to].live_outs), cfg)
+                dup.attrs["segment_returnBypasses"] = (
+                    ca.bypass_type_of_live_outs(to))
                 proactive_rescaling(dup, waterline, output_val, config=cfg)
                 early_modswitch(dup)
                 canonicalize(dup)
@@ -433,15 +539,10 @@ def dacapo_plan(fn: Function, waterline, output_val=0, config=None,
                 opt_cost = cost
 
         if to != ca.ret_opid and to in best:
-            dup, _ = fn.clone()
-            dup.attrs["cutted_edge"] = [to, ca.ret_opid]
-            dup.attrs["btp_target"] = ca.get_targets(to, set_num)
-            dup.attrs["segment_input"] = list(ca.values[to].live_outs)
-            dup.attrs["segment_inputType"] = list(best[to][2])
-            dup.attrs["segment_return"] = []
             try:
-                bootstrap_placement(dup, cfg)
-                code_segmentation(dup, cfg)
+                dup = extract_segment(
+                    fn, ca, to, ca.ret_opid, list(ca.values[to].live_outs),
+                    list(best[to][2]), ca.get_targets(to, set_num), [], cfg)
                 cov = coverage_recorder(dup, waterline, threshold, cfg)
             except TypeInferenceError:
                 cov = [to + 1, to + 1]

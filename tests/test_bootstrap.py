@@ -47,8 +47,6 @@ def test_mod_raise_roundtrip(scheme, bs):
     assert np.max(np.abs(I)) < bs.cfg.K, np.max(np.abs(I))   # in EvalMod range
 
 
-@pytest.mark.xfail(reason="EvalMod output scale declaration under repair; "
-                          "mod_raise + transforms verified", strict=False)
 def test_bootstrap_end_to_end(scheme, bs):
     n = scheme.ctx.config.n_slots
     rng = np.random.default_rng(3)
