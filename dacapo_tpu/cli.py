@@ -42,6 +42,8 @@ def _cmd_opt(args):
     if args.pipeline == "elasm":
         opts = dict(parallel=args.parallel_elasm, num_iter=args.num_iter_elasm,
                     beta=args.beta_elasm, gamma=args.gamma_elasm)
+    if args.enable_check_smu:
+        opts["check_smu"] = True
     prog = compile_function(fn, args.pipeline, args.waterline,
                             args.output_val, config=cfg, out_prefix=args.output)
     if args.output:
@@ -98,6 +100,7 @@ def main(argv=None):
     o.add_argument("--output-val", type=int, default=0)
     o.add_argument("--ckks-config", default="profiled_TPU_n14")
     o.add_argument("--enable-debug-printer", action="store_true")
+    o.add_argument("--enable-check-smu", action="store_true")
     o.add_argument("--parallel-elasm", type=int, default=20)
     o.add_argument("--num-iter-elasm", type=int, default=1000)
     o.add_argument("--beta-elasm", type=float, default=40.0)

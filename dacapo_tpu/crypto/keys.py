@@ -90,6 +90,13 @@ class KeyGenerator:
 
     def extend_galois(self, keyset: KeySet, rot_steps):
         """Generate any missing galois keys for the given rotation steps."""
+        missing = [st for st in rot_steps
+                   if st % (self.ctx.n // 2) not in keyset.galois
+                   and st % (self.ctx.n // 2) != 0]
+        if missing and keyset.s_ntt is None:
+            raise RuntimeError(
+                f"server-mode keyset lacks galois keys for steps {missing[:8]}…; "
+                "generate the full keyset for this program first (hc keygen)")
         for st in rot_steps:
             st = st % (self.ctx.n // 2)
             if st not in keyset.galois and st != 0:
@@ -133,24 +140,44 @@ class KeyGenerator:
         return jnp.stack(digits)
 
 
-def save_keyset(keyset: KeySet, dirpath: str):
+def save_keyset(keyset: KeySet, dirpath: str, parts=("secret", "public", "eval")):
+    """Persist a keyset directory (reference ~/.hevm/{seal,heaan} keysets,
+    SEAL_HEVM.cpp:44-89). `parts` selects what is written so a deployment can
+    ship the client (secret+public) and server (eval) halves separately."""
     os.makedirs(dirpath, exist_ok=True)
-    np.save(os.path.join(dirpath, "s_ntt.npy"), np.asarray(keyset.s_ntt))
-    np.save(os.path.join(dirpath, "pk.npy"), np.asarray(keyset.pk))
-    np.save(os.path.join(dirpath, "rlk.npy"), np.asarray(keyset.rlk))
-    os.makedirs(os.path.join(dirpath, "galois"), exist_ok=True)
-    for st, gk in keyset.galois.items():
-        np.save(os.path.join(dirpath, "galois", f"{st}.npy"), np.asarray(gk))
+    if "secret" in parts and keyset.s_ntt is not None:
+        np.save(os.path.join(dirpath, "s_ntt.npy"), np.asarray(keyset.s_ntt))
+    if "public" in parts and keyset.pk is not None:
+        np.save(os.path.join(dirpath, "pk.npy"), np.asarray(keyset.pk))
+    if "eval" in parts:
+        if keyset.rlk is not None:
+            np.save(os.path.join(dirpath, "rlk.npy"), np.asarray(keyset.rlk))
+        if keyset.conj is not None:
+            np.save(os.path.join(dirpath, "conj.npy"), np.asarray(keyset.conj))
+        os.makedirs(os.path.join(dirpath, "galois"), exist_ok=True)
+        for st, gk in keyset.galois.items():
+            np.save(os.path.join(dirpath, "galois", f"{st}.npy"), np.asarray(gk))
 
 
-def load_keyset(dirpath: str) -> KeySet:
+def load_keyset(dirpath: str, mode: str = "full") -> KeySet:
+    """mode: 'full' (everything), 'client' (secret+public: encrypt/decrypt),
+    'server' (public+eval keys only: can run but not decrypt) — the reference
+    initFullVM/initClientVM/initServerVM split (SEAL_HEVM.cpp:404-436)."""
+
+    def _load(name):
+        p = os.path.join(dirpath, f"{name}.npy")
+        return jnp.asarray(np.load(p)) if os.path.exists(p) else None
+
+    want_secret = mode in ("full", "client")
+    want_eval = mode in ("full", "server")
     ks = KeySet(
-        s_ntt=jnp.asarray(np.load(os.path.join(dirpath, "s_ntt.npy"))),
-        pk=jnp.asarray(np.load(os.path.join(dirpath, "pk.npy"))),
-        rlk=jnp.asarray(np.load(os.path.join(dirpath, "rlk.npy"))),
+        s_ntt=_load("s_ntt") if want_secret else None,
+        pk=_load("pk"),
+        rlk=_load("rlk") if want_eval else None,
+        conj=_load("conj") if want_eval else None,
     )
     gdir = os.path.join(dirpath, "galois")
-    if os.path.isdir(gdir):
+    if want_eval and os.path.isdir(gdir):
         for f in os.listdir(gdir):
             ks.galois[int(f[:-4])] = jnp.asarray(np.load(os.path.join(gdir, f)))
     return ks

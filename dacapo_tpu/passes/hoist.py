@@ -112,3 +112,36 @@ def early_modswitch(fn: Function):
 
 def upscale_bubbling(fn: Function):
     return _hoist(fn, "upscale")
+
+
+def flexible_bootstrap(fn: Function):
+    """Absorb modswitch users into the bootstrap target level.
+
+    Port of lib/Dialect/Earth/Transforms/FlexibleBootstrap.cpp:35-77: when
+    every user of an `earth.bootstrap` is a modswitch, raise the bootstrap's
+    targetLevel by the minimum downFactor — the bootstrap then refreshes to a
+    shallower level, which is cheaper (bootstrap latency grows with target
+    level) and wastes no freshly raised levels. Zero-factor modswitches left
+    behind fold away in canonicalize.
+    """
+    users = _build_users(fn)
+    for op in fn.ops:
+        if op.opcode != "bootstrap":
+            continue
+        uses = users.get(op.result, [])
+        if not uses:
+            continue
+        minf = None
+        for u in uses:
+            if u is _RET or u.opcode != "modswitch":
+                minf = 0
+                break
+            f = u.attrs["downFactor"]
+            minf = f if minf is None else min(minf, f)
+        if not minf:
+            continue
+        op.attrs["targetLevel"] = op.attrs.get("targetLevel", 0) + minf
+        op.set_ty(op.ty.switch_level(op.ty.level + minf))
+        for u in uses:
+            u.attrs["downFactor"] -= minf
+    return fn

@@ -17,8 +17,14 @@ from ..vm.lower import lower
 
 
 def run_scale_pipeline(fn: Function, pipeline: str, waterline: int,
-                       output_val: int = 0, config=None, **opts):
+                       output_val: int = 0, config=None, check_smu=False,
+                       **opts):
     cfg = config or current_config()
+    if check_smu:
+        # --enable-check-smu (optimizer.cpp:246-254): embed SMU ids on the
+        # unmanaged IR (SMUEmbedding), verify them after the walk.
+        from .smu import ScaleManagementUnit
+        ScaleManagementUnit(fn).attach()
     if pipeline == "eva":
         waterline_rescaling(fn, waterline, output_val, config=cfg)
     elif pipeline == "pars":
@@ -36,6 +42,12 @@ def run_scale_pipeline(fn: Function, pipeline: str, waterline: int,
     early_modswitch(fn)
     cse(fn)
     canonicalize(fn)
+    if check_smu:
+        # SMUChecker: every SMU shares one (scale, level) (SMUChecker.cpp:44-96).
+        from .smu import ScaleManagementUnit
+        smu = ScaleManagementUnit(fn)
+        assert smu.verify(), "SMU check failed: group with inconsistent (scale, level)"
+        smu.detach()
     return fn
 
 

@@ -49,8 +49,20 @@ def current_profile():
 
 
 class HEVM:
-    def __init__(self, profile=None, keyset_dir=None, jit=True):
+    """The VM driver. `mode` mirrors the reference's three init entry points
+    (runner.py:174-217, SEAL_HEVM.cpp:404-436):
+
+    * "full"   — initFullVM: all keys; encrypt + run + decrypt in-process.
+    * "client" — initClientVM: secret/public keys only; encrypt inputs and
+      decrypt results, but cannot evaluate. Ships ciphertexts via getCtxt.
+    * "server" — initServerVM: eval keys only (no secret); receives
+      ciphertexts via setCtxt, runs, returns handles via getCtxt/getResIdx.
+    """
+
+    def __init__(self, profile=None, keyset_dir=None, jit=True, mode="full"):
+        assert mode in ("full", "client", "server")
         self.profile = profile or _selected_profile
+        self.mode = mode
         self.compiler_cfg = load_profile(COMPILER_PROFILES[self.profile])
         self.scheme = Scheme(self.profile)
         self.jit = jit
@@ -58,38 +70,128 @@ class HEVM:
             f"~/.hevm/tpu/{self.profile}")
         self._load_or_gen_keys()
         self.executor = None
+        self.prog = None
         self.inputs = {}
+        self._arg_cts = {}
 
     def _load_or_gen_keys(self):
         d = self.keyset_dir
-        if os.path.exists(os.path.join(d, "s_ntt.npy")):
-            self.scheme.keys = keymod.load_keyset(d)
+        have = os.path.exists(os.path.join(d, "s_ntt.npy")) or (
+            self.mode == "server" and os.path.exists(os.path.join(d, "rlk.npy")))
+        if have:
+            self.scheme.keys = keymod.load_keyset(d, mode=self.mode)
+        elif self.mode == "server":
+            raise RuntimeError(
+                f"server VM needs a pregenerated keyset at {d} (run hc keygen)")
         else:
             self.scheme.generate_keys()
             keymod.save_keyset(self.scheme.keys, d)
 
+    def setDebug(self, flag=True):
+        if self.executor is not None:
+            self.executor.setDebug(flag)
+        self._debug = bool(flag)
+
     def load(self, cst_path, hevm_path):
+        """Full/server loader: constants + bytecode -> executor + preencode."""
+        assert self.mode in ("full", "server")
         constants = read_cst(cst_path)
         prog = HEVMProgram.load(hevm_path)
+        self.prog = prog
         self.executor = HEVMExecutor(self.scheme, prog, constants)
+        if getattr(self, "_debug", False):
+            self.executor.setDebug(True)
         self.executor.preprocess()
-        # persist any newly generated galois keys for next runs
-        keymod.save_keyset(self.scheme.keys, self.keyset_dir)
+        if self.mode == "full":
+            # persist any newly generated galois keys for next runs
+            keymod.save_keyset(self.scheme.keys, self.keyset_dir)
 
+    def loadClient(self, hevm_path):
+        """Client loader: header only (arg/res scales+levels), no constants,
+        no executor (reference loadClient, SEAL_HEVM.cpp:431-436)."""
+        assert self.mode == "client"
+        self.prog = HEVMProgram.load(hevm_path)
+
+    # --------------------------------------------------------------- client
     def setInput(self, i, data):
+        """Encode+encrypt argument i at its compiled (level, scale)."""
         self.inputs[i] = np.asarray(data, dtype=np.float64)
+        nl = self.prog.arg_level[i] + 1
+        scale = float(2.0 ** self.prog.arg_scale[i])
+        ct = self.scheme.encrypt(self.inputs[i], scale=scale, nl=nl)
+        self._arg_cts[i] = (ct.data, nl, scale)
 
+    def getCtxt(self, i):
+        """Serialized argument/result ciphertext for transport
+        (reference getCtxt 'we need this for communication code',
+        SEAL_HEVM.cpp:463-473)."""
+        if i in self._arg_cts:
+            data, nl, scale = self._arg_cts[i]
+        else:
+            outs, meta = self.executor._last_outputs
+            data, (nl, scale) = outs[i], meta[i]
+        return serialize_ct(np.asarray(data), nl, scale)
+
+    def setCtxt(self, i, blob):
+        """Receive a transported ciphertext as argument i (server side)."""
+        self._arg_cts[i] = deserialize_ct(blob)
+
+    def getResIdx(self, i):
+        return self.prog.res_dst[i]
+
+    def decrypt_result(self, blob):
+        """Client-side decrypt of a transported result ciphertext."""
+        from ..crypto.scheme import Ciphertext
+        import jax.numpy as jnp
+        data, nl, scale = deserialize_ct(blob)
+        return self.scheme.decrypt(Ciphertext(jnp.asarray(data), scale))
+
+    # --------------------------------------------------------------- server
     def run(self):
-        args = [self.inputs[i] for i in range(self.executor.prog.arg_length)]
-        self._out = self.executor.run(args, jit=self.jit)
+        assert self.mode in ("full", "server")
+        n_args = self.prog.arg_length
+        if len(self._arg_cts) == n_args:       # pre-encrypted (server path)
+            arg_cts = [self._arg_cts[i] for i in range(n_args)]
+            self.executor.run_encrypted(arg_cts, jit=self.jit)
+            if self.mode == "full":
+                self._out = self.executor.decrypt_outputs()
+            else:
+                self._out = None
+        else:
+            args = [self.inputs[i] for i in range(n_args)]
+            self._out = self.executor.run(args, jit=self.jit)
         return self._out
 
     def getOutput(self):
         return self._out
 
+    def getOutputCtxt(self, i):
+        """Serialized i-th result ciphertext (server -> client transport)."""
+        outs, meta = self.executor._last_outputs
+        data, (nl, scale) = outs[i], meta[i]
+        return serialize_ct(np.asarray(data), nl, scale)
+
     def printer(self, latency, rms):
         print("=======================================")
-        print(f"Profile: {self.profile} (TPU-HEVM)")
+        print(f"Profile: {self.profile} (TPU-HEVM, {self.mode})")
         print(f"Latency: {latency}")
         print(f"RMS: {rms}")
         print("=======================================")
+
+
+# ------------------------------------------------------- ciphertext transport
+def serialize_ct(data, nl, scale):
+    """uint32 [2, nl, N] + metadata -> bytes (network/disk transport)."""
+    import struct
+    arr = np.ascontiguousarray(np.asarray(data, dtype=np.uint32))
+    header = struct.pack("<IId", arr.shape[1], arr.shape[2], float(scale))
+    return header + arr.tobytes()
+
+
+def deserialize_ct(blob):
+    import struct
+    nl, n, scale = struct.unpack_from("<IId", blob, 0)
+    off = struct.calcsize("<IId")
+    arr = np.frombuffer(blob, dtype=np.uint32, offset=off).reshape(2, nl, n)
+    import jax.numpy as jnp
+    return (jnp.asarray(arr), int(nl), float(scale))

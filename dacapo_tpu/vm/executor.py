@@ -34,7 +34,13 @@ class HEVMExecutor:
         self.plain_meta = [None] * program.num_ptxt  # (nl, scale)
         self._compiled = None
         self._bank_tab_cache = {}    # tuple(steps) -> (perms, stacked gks)
+        self.debug = False           # per-op (nl, scale) trace (VM setDebug)
         self._prepare_keys()
+
+    def setDebug(self, flag=True):
+        """Per-op scale/level tracing like the reference VMs' setDebug
+        (SEAL_HEVM.cpp:269-334 prints op name + scale per instruction)."""
+        self.debug = bool(flag)
 
     def _prepare_keys(self):
         offs = [o for o in self.prog.rotation_offsets() if o != 0]
@@ -127,6 +133,8 @@ class HEVMExecutor:
                     bank["entries"].append((op.dst, steps))
                     bank_of_dst[op.dst] = bank
                     meta[op.dst] = (nl, sc)
+                if self.debug:
+                    self._dbg(op, meta[op.dst])
                 continue
             if op.lhs < self.prog.num_ctxt:
                 materialize(op.lhs)
@@ -174,10 +182,27 @@ class HEVMExecutor:
                     ciphers[op.lhs], nl, sc, op.rhs)
             else:
                 raise ValueError(f"bad opcode {oc}")
+            if self.debug:
+                self._dbg(op, meta[op.dst])
 
         outs = [materialize(r) for r in self.prog.res_dst]
         out_meta = [meta[r] for r in self.prog.res_dst]
         return outs, out_meta
+
+    _OPNAMES = {
+        OP_ENCODE: "encode", OP_ROTATE: "rotatec", OP_NEGATE: "negatec",
+        OP_RESCALE: "rescalec", OP_MODSWITCH: "modswitchc",
+        OP_UPSCALE: "upscalec", OP_ADDCC: "addcc", OP_ADDCP: "addcp",
+        OP_MULCC: "mulcc", OP_MULCP: "mulcp", OP_BOOTSTRAP: "bootstrapc",
+    }
+
+    def _dbg(self, op, m):
+        import math, sys
+        nl, sc = m
+        name = self._OPNAMES.get(op.opcode, f"op{op.opcode}")
+        print(f"[hevm] {name:<10} dst={op.dst:<5} lhs={op.lhs:<5} "
+              f"rhs={op.rhs:<6} level={nl - 1:<3} "
+              f"log2(scale)={math.log2(sc):.3f}", file=sys.stderr)
 
     def _bootstrap(self, data, nl, scale, target_level):
         from ..crypto.bootstrap import Bootstrapper
@@ -198,18 +223,28 @@ class HEVMExecutor:
         signature compiles once into a fused XLA unit and is reused, so big
         programs never pay a monolithic compile).
         """
-        if jit == "auto":
-            jit = len(self.prog.ops) <= self.WHOLE_JIT_MAX_OPS
-        if jit and any(op.opcode == OP_BOOTSTRAP for op in self.prog.ops):
-            from ..crypto.bootstrap import EmulatedBootstrapper, Bootstrapper
-            if isinstance(Bootstrapper(self.s), EmulatedBootstrapper):
-                jit = False  # emulated bootstrap needs a host round-trip
         arg_cts = []
         for i, v in enumerate(arg_values):
             nl = self.prog.arg_level[i] + 1
             scale = float(2.0 ** self.prog.arg_scale[i])
             ct = self.s.encrypt(v, scale=scale, nl=nl)
             arg_cts.append((ct.data, nl, scale))
+        self.run_encrypted(arg_cts, jit=jit)
+        return self.decrypt_outputs()
+
+    def run_encrypted(self, arg_cts, jit="auto"):
+        """Server-mode entry: arg_cts are pre-encrypted (data, nl, scale)
+        triples (the client encrypted them; this VM may hold no secret key).
+        Leaves output CIPHERTEXTS in self._last_outputs; the caller ships
+        them back via getCtxt (reference SEAL_HEVM.cpp:463-473)."""
+        if jit == "auto":
+            jit = len(self.prog.ops) <= self.WHOLE_JIT_MAX_OPS
+        if jit and any(op.opcode == OP_BOOTSTRAP for op in self.prog.ops):
+            from ..crypto.bootstrap import EmulatedBootstrapper, Bootstrapper
+            if isinstance(Bootstrapper(self.s), EmulatedBootstrapper):
+                jit = False  # emulated bootstrap needs a host round-trip
+        if self.debug:
+            jit = False      # tracing prints per-op host metadata
         if jit:
             fn = self._get_compiled()
             outs = fn([c[0] for c in arg_cts], self.plains)
@@ -217,7 +252,7 @@ class HEVMExecutor:
         else:
             outs, out_meta = self._run_trace(arg_cts, self.plains)
         self._last_outputs = (outs, out_meta)
-        return self.decrypt_outputs()
+        return self._last_outputs
 
     def _meta_only(self, arg_cts):
         """Metadata is input-independent; recompute without touching arrays."""

@@ -133,3 +133,53 @@ def test_elasm_small():
     canonicalize(fn)
     fn.verify()
     assert "est_latency" not in fn.attrs or fn.attrs["est_latency"] >= 0
+
+
+def test_flexible_bootstrap():
+    """FlexibleBootstrap absorbs modswitch users into the bootstrap target
+    (reference FlexibleBootstrap.cpp:35-77)."""
+    from dacapo_tpu.ir.earth import Function, Value, ScaleType, Op
+    from dacapo_tpu.passes.hoist import flexible_bootstrap
+
+    arg = Value(ScaleType(True, 25, 6), arg_index=0)
+    bs = Op("bootstrap", [arg], {"targetLevel": 1},
+            ScaleType(True, 25, 1))
+    ms1 = Op("modswitch", [bs.result], {"downFactor": 3},
+             ScaleType(True, 25, 4))
+    ms2 = Op("modswitch", [bs.result], {"downFactor": 2},
+             ScaleType(True, 25, 3))
+    add = Op("add", [ms1.result, ms2.result], {}, None)
+    fn = Function("f", [arg], [bs, ms1, ms2, add], [add.result])
+
+    flexible_bootstrap(fn)
+    assert bs.attrs["targetLevel"] == 3          # 1 + min(3, 2)
+    assert bs.ty.level == 3
+    assert ms1.attrs["downFactor"] == 1
+    assert ms2.attrs["downFactor"] == 0          # folds away in canonicalize
+
+
+def test_flexible_bootstrap_skips_mixed_users():
+    from dacapo_tpu.ir.earth import Function, Value, ScaleType, Op
+    from dacapo_tpu.passes.hoist import flexible_bootstrap
+
+    arg = Value(ScaleType(True, 25, 6), arg_index=0)
+    bs = Op("bootstrap", [arg], {"targetLevel": 1}, ScaleType(True, 25, 1))
+    ms = Op("modswitch", [bs.result], {"downFactor": 3}, ScaleType(True, 25, 4))
+    neg = Op("negate", [bs.result], {}, ScaleType(True, 25, 1))
+    fn = Function("f", [arg], [bs, ms, neg], [ms.result, neg.result])
+
+    flexible_bootstrap(fn)
+    assert bs.attrs["targetLevel"] == 1          # untouched: non-modswitch user
+
+
+def test_check_smu_pipeline_flag():
+    """--enable-check-smu equivalent asserts SMU consistency post-walk."""
+    from dacapo_tpu.passes.pipeline import run_scale_pipeline
+
+    def body(x):
+        y = x * x
+        return y.rotate(2) + y
+
+    fn, _ = _trace(body)
+    run_scale_pipeline(fn, "pars", 25, check_smu=True)
+    fn.verify()
