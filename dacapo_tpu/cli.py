@@ -78,6 +78,8 @@ def _cmd_keygen(args):
     s.generate_keys()
     d = args.dir or os.path.expanduser(f"~/.hevm/tpu/{args.profile}")
     keymod.save_keyset(s.keys, d)
+    with open(os.path.join(d, "params.json"), "w") as f:
+        json.dump({"primes": repr(sorted(s.ctx.primes))}, f)
     print(d)
 
 
@@ -127,6 +129,19 @@ def main(argv=None):
 
     args = p.parse_args(argv)
     args.fn(args)
+
+
+# console-script entry points matching the reference's config.sh aliases
+def main_trace(argv=None):
+    main(["trace"] + (argv if argv is not None else sys.argv[1:]))
+
+
+def main_opt(argv=None):
+    main(["opt"] + (argv if argv is not None else sys.argv[1:]))
+
+
+def main_test(argv=None):
+    main(["test"] + (argv if argv is not None else sys.argv[1:]))
 
 
 if __name__ == "__main__":

@@ -25,12 +25,14 @@ class EmulatedBootstrapper:
         """Decrypt -> re-encrypt in the COEFFICIENT domain: no slot FFT
         round-trip, just a CRT lift (vectorized int64 — the planner pins
         bootstrap operands to the chain bottom, see refine_level) and an
-        RNS re-expansion + fresh encryption of the same polynomial."""
+        RNS re-expansion + fresh encryption of the same polynomial.
+        `target_level` is in hevm levels; composite profiles expand it to
+        rescale_rows RNS rows per level."""
         from .scheme import Ciphertext, Plaintext
         s = self.s
         planes = s.decrypt_planes(Ciphertext(data, scale))
         coeffs = s.encoder.crt_lift(planes)          # centered m + e, float64
-        nl2 = target_level + 1
+        nl2 = (target_level + 1) * s.ctx.config.rescale_rows
         ci = coeffs.astype(np.int64)
         out = np.empty((nl2, s.ctx.n), dtype=np.uint32)
         for i in range(nl2):

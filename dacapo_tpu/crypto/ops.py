@@ -155,6 +155,8 @@ class Evaluator:
         return mul_mod_shoup(ct, c, cs, q)
 
     def upscale(self, ct, nl, up_bits: int):
+        """Exact multiply by 2^up_bits. The per-row constants are passed as
+        arguments so ONE compiled signature per level serves every factor."""
         from .modmath import host_shoup
         vals = [pow(2, up_bits, q) for q in self.ctx.q_primes[:nl]]
         sh = [host_shoup(v, q) for v, q in zip(vals, self.ctx.q_primes[:nl])]
@@ -162,8 +164,9 @@ class Evaluator:
         cs = _c(np.array(sh, np.uint32))[:, None]
         q = self._q(range(nl))
         return self._jit(
-            ("upscale", nl, up_bits), lambda: lambda x: mul_mod_shoup(x, c, cs, q)
-        )(ct)
+            ("upscale", nl),
+            lambda: lambda x, cc, ss: mul_mod_shoup(x, cc, ss, q),
+        )(ct, c, cs)
 
     def mod_drop(self, ct, k: int):
         """modswitch by k levels = drop the top k RNS rows (SEAL semantics)."""
@@ -173,17 +176,37 @@ class Evaluator:
     def rescale(self, ct, nl):
         return self._jit(("rescale", nl), lambda: lambda x: self._rescale(x, nl))(ct)
 
+    def rescale_k(self, ct, nl, k: int):
+        """Drop k top rows with exact division (composite-level rescale),
+        fused into one compiled unit."""
+        if k == 1:
+            return self.rescale(ct, nl)
+        return self._jit(
+            ("rescale_k", nl, k), lambda: lambda x: self._rescale_k(x, nl, k)
+        )(ct)
+
+    def _rescale_k(self, x, nl, k):
+        for i in range(k):
+            x = self._rescale(x, nl - i)
+        return x
+
     def _rescale(self, ct, nl):
         """Divide by the top prime q_{nl-1}: exact RNS rescale with centered lift."""
         lc = self.ctx.level(nl)
         rows_lo = list(range(nl - 1))
         top = ct[:, nl - 1, :]                      # [2, N] NTT domain
         top_c = self.intt(top, [nl - 1] * 2)        # both polys, same prime row
-        # centered lift: v' = v or v - q_top; residue mod q_i: v or v + (q_i - q_top)
+        # centered lift: v' = v or v - q_top; residue mod q_i. q_top may be
+        # larger than q_i (balanced-pair chains, q_top/q_i < 2), so reduce v
+        # mod q_i first, then add the precomputed correction and reduce again.
         half = jnp.uint32(lc.rs_half)
         diff = _c(lc.rs_diff)[None, :, None]        # [1, nl-1, 1]
+        qrow = self._q(rows_lo)[None, :, :]         # [1, nl-1, 1]
         v = top_c[:, None, :]                       # [2, 1, N]
-        lifted = jnp.where(v > half, v + diff, v)   # [2, nl-1, N]
+        vm = jnp.where(v >= qrow, v - qrow, v)      # v mod q_i  (q_top < 2 q_i)
+        r2 = vm + diff
+        r2 = jnp.where(r2 >= qrow, r2 - qrow, r2)
+        lifted = jnp.where(v > half, r2, vm)        # [2, nl-1, N]
         conv = self.ntt(lifted.reshape(2 * (nl - 1), self.n), rows_lo + rows_lo)
         conv = conv.reshape(2, nl - 1, self.n)
         q = self._q(rows_lo)
@@ -216,16 +239,18 @@ class Evaluator:
 
         c_coeff = self.intt(c_ntt, range(nl))
 
-        digits = []
+        # compute all groups' coeff-domain extensions, then ONE batched NTT
+        # over the concatenated target planes (fewer Mosaic kernels per graph
+        # -> faster XLA compiles and fewer launches)
+        exts_coeff = []
+        all_target_rows = []
         for g in lc.groups:
             own = g.rows
-            # coeff-domain digit residues for base conversion
             u = mul_mod_shoup(
                 c_coeff[np.asarray(own)],
                 _c(g.t_coef)[:, None], _c(g.t_coef_shoup)[:, None],
                 self._q(own),
             )
-            # extend to target rows: out[t] = sum_g u[g] * M[g, t]
             tq = self._q(g.targets)
             ext = None
             for gi in range(len(own)):
@@ -233,7 +258,16 @@ class Evaluator:
                     u[gi][None, :], _c(g.m[gi])[:, None], _c(g.m_shoup[gi])[:, None], tq
                 )
                 ext = term if ext is None else add_mod(ext, term, tq)
-            ext = self.ntt(ext, g.targets)
+            exts_coeff.append(ext)
+            all_target_rows.extend(g.targets)
+        ext_ntt = self.ntt(jnp.concatenate(exts_coeff, axis=0), all_target_rows)
+
+        digits = []
+        off = 0
+        for g in lc.groups:
+            own = g.rows
+            ext = ext_ntt[off: off + len(g.targets)]
+            off += len(g.targets)
             # own planes stay in NTT domain, scaled by S
             own_planes = mul_mod_shoup(
                 c_ntt[np.asarray(own)],
@@ -283,30 +317,34 @@ class Evaluator:
         sp_rows = [ctx.config.num_q + i for i in range(ctx.config.alpha)]
         digits = self._modup(c_ntt, nl)
         acc0, acc1 = self._ks_inner(digits, nl, ksk)
-        return (
-            self._mod_down(acc0, nl, lc, sp_rows),
-            self._mod_down(acc1, nl, lc, sp_rows),
-        )
+        return self._mod_down_pair(acc0, acc1, nl, lc, sp_rows)
 
-    def _mod_down(self, x_qp, nl, lc, sp_rows):
-        """(x - [x]_P)/P : QP -> Q^{(nl)} (approximate conversion of [x]_P)."""
+    def _mod_down_pair(self, x0, x1, nl, lc, sp_rows):
+        """ModDown of both keyswitch halves with batched NTT passes."""
         alpha = self.ctx.config.alpha
-        xq = x_qp[:nl]
-        xp = x_qp[nl:]
-        xp_c = self.intt(xp, sp_rows)
+        xp = jnp.concatenate([x0[nl:], x1[nl:]], axis=0)      # [2a, N]
+        xp_c = self.intt(xp, sp_rows + sp_rows)
+        tq = self._q(sp_rows)
         u = mul_mod_shoup(
-            xp_c, _c(lc.md_t)[:, None], _c(lc.md_t_shoup)[:, None], self._q(sp_rows)
+            xp_c.reshape(2, alpha, self.n),
+            _c(lc.md_t)[None, :, None], _c(lc.md_t_shoup)[None, :, None], tq[None],
         )
         q = self._q(range(nl))
         conv = None
         for gi in range(alpha):
             term = mul_mod_shoup(
-                u[gi][None, :], _c(lc.md_m[gi])[:, None], _c(lc.md_m_shoup[gi])[:, None], q
+                u[:, gi][:, None, :],
+                _c(lc.md_m[gi])[None, :, None], _c(lc.md_m_shoup[gi])[None, :, None],
+                q[None],
             )
-            conv = term if conv is None else add_mod(conv, term, q)
-        conv = self.ntt(conv, range(nl))
-        num = sub_mod(xq, conv, q)
-        return mul_mod_shoup(num, _c(lc.pinv)[:, None], _c(lc.pinv_shoup)[:, None], q)
+            conv = term if conv is None else add_mod(conv, term, q[None])
+        conv = self.ntt(conv.reshape(2 * nl, self.n), list(range(nl)) * 2)
+        conv = conv.reshape(2, nl, self.n)
+        pv = _c(lc.pinv)[:, None]
+        pvs = _c(lc.pinv_shoup)[:, None]
+        out0 = mul_mod_shoup(sub_mod(x0[:nl], conv[0], q), pv, pvs, q)
+        out1 = mul_mod_shoup(sub_mod(x1[:nl], conv[1], q), pv, pvs, q)
+        return out0, out1
 
     # ------------------------------------------------------------ mul / rot
     def mul_ct(self, a, b, nl, rlk):
@@ -344,15 +382,18 @@ class Evaluator:
         return planes[..., jnp.asarray(perm, dtype=jnp.int32)]
 
     def rotate(self, ct, nl, steps: int, gk):
-        """Left-rotate slots by `steps` using the galois key for that step."""
-        return self._jit(
-            ("rotate", nl, steps), lambda: lambda c, k: self._rotate(c, nl, steps, k)
-        )(ct, gk)
+        """Left-rotate slots by `steps` using the galois key for that step.
 
-    def _rotate(self, ct, nl, steps, gk):
-        perm = self.ctx.rot_perm(steps)
-        c0p = self.automorphism(ct[0], perm)
-        c1p = self.automorphism(ct[1], perm)
+        The permutation table is an argument, so one compiled signature per
+        level serves every rotation offset."""
+        perm = jnp.asarray(self.ctx.rot_perm(steps), dtype=jnp.int32)
+        return self._jit(
+            ("rotate", nl), lambda: lambda c, p, k: self._rotate(c, nl, p, k)
+        )(ct, perm, gk)
+
+    def _rotate(self, ct, nl, perm, gk):
+        c0p = ct[0][..., perm]
+        c1p = ct[1][..., perm]
         ks0, ks1 = self._keyswitch(c1p, nl, gk)
         q = self._q(range(nl))
         return jnp.stack([add_mod(c0p, ks0, q), ks1])
@@ -372,6 +413,46 @@ class Evaluator:
         return jnp.stack([add_mod(c0p, ks0, q), ks1])
 
     # ------------------------------------------------- hoisted rotation bank
+    # Bank sizes compiled for rotate_apply: a bank of K rotations dispatches
+    # as greedy chunks of these sizes, so XLA compiles at most
+    # len(BANK_BUCKETS) signatures per level instead of one per distinct K
+    # (compile time dominates on remote-compile TPU setups).
+    BANK_BUCKETS = (8, 4, 2, 1)
+
+    def modup(self, c_ntt, nl):
+        """Hoisted ModUp digits of one poly (jitted per level)."""
+        return self._jit(
+            ("modup", nl), lambda: lambda c: self._modup(c, nl)
+        )(c_ntt)
+
+    def rotate_apply(self, digits, c0, nl, perms, gks):
+        """Apply K rotations given hoisted ModUp digits of c1.
+
+        perms: int32 [K, N]; gks: uint32 [K, dnum, 2, num_all, N].
+        Returns uint32 [K, 2, nl, N]. Jitted per (nl, K); callers chunk K
+        into BANK_BUCKETS sizes.
+        """
+        k = int(perms.shape[0])
+        return self._jit(
+            ("rotate_apply", nl, k),
+            lambda: lambda d, c, p, g: self._rotate_apply(d, c, nl, p, g),
+        )(digits, c0, perms, gks)
+
+    def _rotate_apply(self, digits, c0, nl, perms, gks):
+        ctx = self.ctx
+        lc = ctx.level(nl)
+        sp_rows = [ctx.config.num_q + i for i in range(ctx.config.alpha)]
+        q = self._q(range(nl))
+
+        def one(perm, gk):
+            d = digits[..., perm]                # σ commutes with ModUp
+            acc0, acc1 = self._ks_inner(d, nl, gk)
+            b, a = self._mod_down_pair(acc0, acc1, nl, lc, sp_rows)
+            c0p = c0[..., perm]
+            return jnp.stack([add_mod(c0p, b, q), a])
+
+        return jax.vmap(one)(perms, gks)
+
     def rotate_batch(self, ct, nl, perms, gks):
         """K rotations of ONE ciphertext with a single hoisted ModUp.
 
@@ -381,29 +462,16 @@ class Evaluator:
         ModDown. This replaces K (iNTT + base-conv + NTT) pipelines with one,
         and the per-rotation work batches into big TPU-friendly ops.
 
-        perms: int32 [K, N] NTT-domain slot permutations (ctx.rot_perm);
-        gks:   uint32 [K, dnum, 2, num_all, N] Galois keys, same step order.
+        Dispatches as bucket-sized rotate_apply chunks sharing one modup.
         Returns uint32 [K, 2, nl, N].
         """
         k = int(perms.shape[0])
-        return self._jit(
-            ("rotate_batch", nl, k),
-            lambda: lambda c, p, g: self._rotate_batch(c, nl, p, g),
-        )(ct, perms, gks)
-
-    def _rotate_batch(self, ct, nl, perms, gks):
-        ctx = self.ctx
-        lc = ctx.level(nl)
-        sp_rows = [ctx.config.num_q + i for i in range(ctx.config.alpha)]
-        digits = self._modup(ct[1], nl)          # hoisted: once for all K
-        q = self._q(range(nl))
-
-        def one(perm, gk):
-            d = digits[..., perm]                # σ commutes with ModUp
-            acc0, acc1 = self._ks_inner(d, nl, gk)
-            b = self._mod_down(acc0, nl, lc, sp_rows)
-            a = self._mod_down(acc1, nl, lc, sp_rows)
-            c0p = ct[0][..., perm]
-            return jnp.stack([add_mod(c0p, b, q), a])
-
-        return jax.vmap(one)(perms, gks)
+        digits = self.modup(ct[1], nl)
+        outs = []
+        i = 0
+        while i < k:
+            step = next(b for b in self.BANK_BUCKETS if b <= k - i)
+            outs.append(self.rotate_apply(
+                digits, ct[0], nl, perms[i: i + step], gks[i: i + step]))
+            i += step
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)

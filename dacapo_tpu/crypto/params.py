@@ -47,10 +47,27 @@ class CKKSConfig:
     #   Bootstrappable profiles use a sparse secret so the ModRaise integer
     #   part I stays within the EvalMod range K (HEaaN-style sparse keys;
     #   sigma(I) ~ sqrt(h/12), so h=192 keeps |I| < 25 w.h.p.).
+    rescale_rows: int = 1         # RNS rows dropped per rescale level.
+    #   1: classic single-prime rescale (rf = prime_bits).
+    #   2: composite rescale over balanced prime PAIRS (rf = 2*prime_bits):
+    #      pairs q_a*q_b are chosen within ~1e-4 bits of 2^rf, recovering
+    #      SEAL-60-bit scale exactness with u32 limbs (primes.py
+    #      gen_balanced_pairs). One compiler "level" = 2 RNS rows.
 
     @property
     def dnum(self) -> int:
         return -(-self.num_q // self.alpha)
+
+    @property
+    def rf_bits(self) -> int:
+        """Rescaling factor in bits (compiler rescalingFactor analog)."""
+        return self.prime_bits * self.rescale_rows
+
+    @property
+    def num_levels(self) -> int:
+        """Compiler levels in the chain (= num_q when rescale_rows == 1)."""
+        assert self.num_q % self.rescale_rows == 0
+        return self.num_q // self.rescale_rows
 
     @property
     def n_slots(self) -> int:
@@ -63,13 +80,18 @@ class CKKSConfig:
 
 # Profiles analogous to the reference's profiled_{SEAL,HEAAN}_{CPU,GPU}.json.
 PROFILES = {
-    # parity-scale profile (reference SEAL: N=2^15, L=14: profiled_SEAL_CPU.json:2-8)
-    "tpu_n15": CKKSConfig(n=1 << 15, num_q=14, alpha=7, prime_bits=30, scale_bits=28),
+    # parity-scale profile (reference SEAL: N=2^15, 14 levels of Delta=2^60:
+    # profiled_SEAL_CPU.json:2-8, SEAL_HEVM.cpp:39-53). Composite rescale:
+    # 28 u32 rows = 14 levels of rf=60, waterline-40 programs match the
+    # reference's `hbt dacapo 40 ...` regime with SEAL-class scale exactness.
+    "tpu_n15": CKKSConfig(n=1 << 15, num_q=28, alpha=7, prime_bits=30,
+                          scale_bits=40, rescale_rows=2),
     # bootstrap-capable profile (reference HEaaN FVa-class; config.json:2-6)
     "tpu_n16": CKKSConfig(n=1 << 16, num_q=30, alpha=10, prime_bits=30,
                           scale_bits=28, secret_h=192),
-    # small fast profile for N=2^14-class traces
-    "tpu_n14": CKKSConfig(n=1 << 14, num_q=8, alpha=4, prime_bits=30, scale_bits=28),
+    # N=2^14-class traces (reference hc-test SEAL runs trace at nt=2^14)
+    "tpu_n14": CKKSConfig(n=1 << 14, num_q=16, alpha=4, prime_bits=30,
+                          scale_bits=40, rescale_rows=2),
     # insecure tiny profiles for unit tests
     "test_n8": CKKSConfig(n=1 << 8, num_q=6, alpha=3, prime_bits=30, scale_bits=25),
     "test_n10": CKKSConfig(n=1 << 10, num_q=8, alpha=4, prime_bits=30, scale_bits=25),
@@ -77,6 +99,9 @@ PROFILES = {
     # insecure tiny bootstrap-capable profile (deep chain + sparse secret)
     "test_boot": CKKSConfig(n=1 << 11, num_q=19, alpha=7, prime_bits=30,
                             scale_bits=25, secret_h=64),
+    # insecure tiny composite-rescale profile (unit tests for rescale_rows=2)
+    "test_n11c": CKKSConfig(n=1 << 11, num_q=16, alpha=4, prime_bits=30,
+                            scale_bits=40, rescale_rows=2),
 }
 
 # crypto profile name -> compiler profile json (dacapo_tpu/profiles/)
@@ -87,6 +112,7 @@ COMPILER_PROFILES = {
     "test_n10": "profiled_TPU_test_n10",
     "test_n11": "profiled_TPU_test_n11",
     "test_boot": "profiled_TPU_test_boot",
+    "test_n11c": "profiled_TPU_test_n11c",
 }
 
 
@@ -137,11 +163,21 @@ class CKKSContext:
     def __init__(self, config: CKKSConfig):
         self.config = config
         n = config.n
-        chain = gen_ntt_primes(n, config.num_all, config.prime_bits)
-        # Largest primes become the special modulus P (must dominate any digit
-        # group product for the approximate-ModUp noise bound).
-        self.p_primes = chain[: config.alpha]
-        self.q_primes = chain[config.alpha:]
+        if config.rescale_rows == 2:
+            # composite-rescale chain: balanced pairs, best pair at the
+            # bottom (rows 2k, 2k+1 form pair k; top pair dropped first)
+            from .primes import gen_balanced_pairs
+            self.q_primes = gen_balanced_pairs(n, config.num_q // 2,
+                                               config.prime_bits)
+            # specials just below 2^31 (bigger P -> smaller ModUp noise)
+            self.p_primes = gen_ntt_primes(n, config.alpha, 31,
+                                           skip=self.q_primes)
+        else:
+            chain = gen_ntt_primes(n, config.num_all, config.prime_bits)
+            # Largest primes become the special modulus P (must dominate any
+            # digit group product for the approximate-ModUp noise bound).
+            self.p_primes = chain[: config.alpha]
+            self.q_primes = chain[config.alpha:]
         self.primes = self.q_primes + self.p_primes  # row order
         self.n = n
         self.logn = n.bit_length() - 1
@@ -280,11 +316,15 @@ class CKKSContext:
             pinv = [pow(p_prod % self.q_primes[i], -1, self.q_primes[i]) for i in range(nl)]
             pv, pvs = _shoup_arr(pinv, self.q_primes[:nl])
 
-            # Rescale: drop row nl-1 (the smallest active prime)
+            # Rescale: drop row nl-1. The dropped prime is not necessarily
+            # the smallest active one (balanced-pair chains), so the
+            # centered-lift correction is (q_i - q_top mod q_i) mod q_i and
+            # the kernel reduces v mod q_i first (ops._rescale).
             if nl >= 2:
                 qt = self.q_primes[nl - 1]
                 rs_diff = np.array(
-                    [self.q_primes[i] - qt for i in range(nl - 1)], dtype=np.uint32
+                    [(self.q_primes[i] - qt % self.q_primes[i]) % self.q_primes[i]
+                     for i in range(nl - 1)], dtype=np.uint32
                 )
                 rs_inv = [pow(qt, -1, self.q_primes[i]) for i in range(nl - 1)]
                 ri, ris = _shoup_arr(rs_inv, self.q_primes[: nl - 1])

@@ -58,6 +58,71 @@ def gen_ntt_primes(n_ring: int, count: int, bits: int, skip=()) -> list:
     return out
 
 
+def ntt_prime_candidates(n_ring: int, bits: int, band: float, skip=()) -> list:
+    """All primes ≡ 1 (mod 2N) in [2^bits(1-band), min(2^bits(1+band), 2^31))."""
+    two_n = 2 * n_ring
+    center = 1 << bits
+    lo = int(center * (1 - band))
+    hi = min(int(center * (1 + band)), (1 << 31) - 1)
+    skipset = set(skip)
+    out = []
+    q = hi - ((hi - 1) % two_n)
+    while q >= lo:
+        if q not in skipset and is_prime(q):
+            out.append(q)
+        q -= two_n
+    return out
+
+
+def gen_balanced_pairs(n_ring: int, num_pairs: int, bits: int = 30,
+                       band: float = 0.10, skip=()) -> list:
+    """Prime pairs whose products sit maximally close to 2^(2*bits).
+
+    This is the composite-rescale parameter trick for 32-bit-limb RNS-CKKS:
+    no single NTT prime (q ≡ 1 mod 2N) lies within ~1e-3 of 2^30 at large N,
+    so single-prime rescale drifts the scale by ~1% per level and add
+    operands stop matching. Dropping PAIRS q_a*q_b ≈ 2^60 recovers SEAL-class
+    exactness (|log2(q_a*q_b) - 60| ~ 1e-4) while keeping u32 arithmetic.
+
+    Returns a flat list [hi_0, lo_0, hi_1, lo_1, ...] (pair k at positions
+    2k, 2k+1), pairs ordered with the *best-balanced* pair FIRST (the bottom
+    pair survives longest and carries the output scale).
+    """
+    import math
+
+    cands = ntt_prime_candidates(n_ring, bits, band, skip)
+    if len(cands) < 2 * num_pairs:
+        raise RuntimeError(
+            f"not enough NTT primes near 2^{bits} (have {len(cands)}, "
+            f"need {2 * num_pairs}); widen the band")
+    devs = sorted((math.log2(c) - bits, c) for c in cands)
+    # greedy closest-to-zero-sum matching over the deviation-sorted list
+    pairs = []
+    pool = devs[:]
+    for _ in range(num_pairs):
+        best = None
+        # for each candidate, binary-search its best partner
+        import bisect
+        for i, (d, q) in enumerate(pool):
+            j = bisect.bisect_left(pool, (-d, 0))
+            for k in (j - 1, j, j + 1):
+                if 0 <= k < len(pool) and k != i:
+                    s = abs(d + pool[k][0])
+                    if best is None or s < best[0]:
+                        best = (s, i, k)
+        s, i, k = best
+        a, b = pool[i], pool[k]
+        pairs.append((s, max(a[1], b[1]), min(a[1], b[1])))
+        for item in sorted((i, k), reverse=True):
+            pool.pop(item)
+    # best-balanced first (bottom of the chain)
+    pairs.sort(key=lambda p: p[0])
+    out = []
+    for _, hi, lo in pairs:
+        out.extend((hi, lo))
+    return out
+
+
 def primitive_root_2n(q: int, n_ring: int) -> int:
     """A primitive 2N-th root of unity psi mod q (psi^N = -1)."""
     two_n = 2 * n_ring

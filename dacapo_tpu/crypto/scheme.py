@@ -117,11 +117,20 @@ class Scheme:
         return Ciphertext(self.ev.neg_ct(a.data, a.nl), a.scale)
 
     def rescale(self, a: Ciphertext) -> Ciphertext:
-        q_top = self.ctx.q_primes[a.nl - 1]
-        return Ciphertext(self.ev.rescale(a.data, a.nl), a.scale / q_top)
+        """Drop one LEVEL = rescale_rows RNS rows (composite profiles divide
+        by the balanced prime pair; see params.CKKSConfig.rescale_rows)."""
+        scale, nl = a.scale, a.nl
+        rr = self.ctx.config.rescale_rows
+        data = self.ev.rescale_k(a.data, nl, rr)
+        for _ in range(rr):
+            scale /= self.ctx.q_primes[nl - 1]
+            nl -= 1
+        return Ciphertext(data, scale)
 
     def mod_drop(self, a: Ciphertext, k: int = 1) -> Ciphertext:
-        return Ciphertext(self.ev.mod_drop(a.data, k), a.scale)
+        """Drop k LEVELS (k * rescale_rows rows) without scale change."""
+        return Ciphertext(
+            self.ev.mod_drop(a.data, k * self.ctx.config.rescale_rows), a.scale)
 
     def upscale(self, a: Ciphertext, up_bits: int) -> Ciphertext:
         return Ciphertext(

@@ -75,7 +75,8 @@ class BatchedEvaluator:
 
         def one(a, b, pt, rlk, gk):
             m = ev._mul_ct(a, b, nl, rlk)
-            r = ev._rotate(a, nl, rot_steps, gk)
+            perm = jnp.asarray(self.s.ctx.rot_perm(rot_steps), dtype=jnp.int32)
+            r = ev._rotate(a, nl, perm, gk)
             r = ev.mul_pt(r, pt, nl)
             x = ev.add_ct(m, r, nl)
             return ev._rescale(x, nl)

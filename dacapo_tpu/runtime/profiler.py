@@ -52,7 +52,15 @@ def profile_backend(profile="tpu_n15", out_path=None, iters=10,
         "earth.constant_single",
     )}
 
-    for nl in range(2, cfg.num_q + 1):
+    rr = cfg.rescale_rows
+
+    def rescale_level(x, nl):
+        return ev.rescale_k(x, nl, rr)
+
+    # table entry j corresponds to compiler level j+1 (ir/config.py pads a
+    # leading 0 for level 0), i.e. (j+2)*rr active RNS rows
+    for lv in range(1, cfg.num_levels):
+        nl = (lv + 1) * rr
         ad = a.data[:, :nl, :]
         bd = b.data[:, :nl, :]
         pd = pt.data[:nl, :]
@@ -61,9 +69,9 @@ def profile_backend(profile="tpu_n15", out_path=None, iters=10,
         lat["earth.negate_single"].append(_time(
             lambda x: ev.neg_ct(x, nl), ad, iters=iters))
         lat["earth.rescale_single"].append(_time(
-            lambda x: ev.rescale(x, nl), ad, iters=iters))
+            lambda x: rescale_level(x, nl), ad, iters=iters))
         lat["earth.modswitch_single"].append(_time(
-            lambda x: ev.mod_drop(x, 1), ad, iters=iters))
+            lambda x: ev.mod_drop(x, rr), ad, iters=iters))
         lat["earth.upscale_single"].append(_time(
             lambda x: ev.upscale(x, nl, 5), ad, iters=iters))
         lat["earth.add_single"].append(_time(
@@ -84,19 +92,29 @@ def profile_backend(profile="tpu_n15", out_path=None, iters=10,
             # scale the reference HEaaN-GPU curve as the placeholder
             lat["earth.bootstrap_single"].append(250000.0 + 8000.0 * nl)
 
-    doc = {
-        "runtime": "TPU-HEVM",
-        "rescalingFactor": cfg.prime_bits,
-        "polynomialDegree": cfg.n,
-        "levelLowerBound": 2,
-        "levelUpperBound": cfg.num_q - 1,
-        "bootstrapLevelLowerBound": 2,
-        "bootstrapLevelUpperBound": cfg.num_q - 1,
-        "latencyTable": lat,
-    }
     out_path = out_path or os.path.join(
         os.path.dirname(__file__), "..", "profiles",
         f"profiled_TPU_{profile}.json")
+    doc = {
+        "runtime": "TPU-HEVM",
+        "rescalingFactor": cfg.rf_bits,
+        "polynomialDegree": cfg.n,
+        "levelLowerBound": 2,
+        "levelUpperBound": cfg.num_levels - 1,
+        "bootstrapLevelLowerBound": 2,
+        "bootstrapLevelUpperBound": cfg.num_levels - 1,
+        "latencyTable": lat,
+    }
+    # keep the analytic noiseTable (ErrorEstimator input) if one exists —
+    # re-profiling measures latency only
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                old = json.load(f)
+            if "noiseTable" in old:
+                doc["noiseTable"] = old["noiseTable"]
+        except (OSError, json.JSONDecodeError):
+            pass
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
     return os.path.abspath(out_path)

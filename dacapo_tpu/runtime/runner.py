@@ -7,6 +7,7 @@ result block (runner.py:256-271). Here the "backend library" is the in-repo
 JAX/TPU crypto layer; profiles replace the SEAL/HEAAN lib+hw pairs.
 """
 
+import json
 import os
 import time
 
@@ -78,14 +79,25 @@ class HEVM:
         d = self.keyset_dir
         have = os.path.exists(os.path.join(d, "s_ntt.npy")) or (
             self.mode == "server" and os.path.exists(os.path.join(d, "rlk.npy")))
+        fp_path = os.path.join(d, "params.json")
+        fingerprint = repr(sorted(self.scheme.ctx.primes))
+        if have:
+            # stale keysets (profile parameters changed) must not be reused
+            try:
+                with open(fp_path) as f:
+                    have = json.load(f)["primes"] == fingerprint
+            except (OSError, ValueError, KeyError):
+                have = False
         if have:
             self.scheme.keys = keymod.load_keyset(d, mode=self.mode)
-        elif self.mode == "server":
-            raise RuntimeError(
-                f"server VM needs a pregenerated keyset at {d} (run hc keygen)")
-        else:
+        if not have:
+            if self.mode == "server":
+                raise RuntimeError(
+                    f"server VM needs a pregenerated keyset at {d} (run hc keygen)")
             self.scheme.generate_keys()
             keymod.save_keyset(self.scheme.keys, d)
+            with open(fp_path, "w") as f:
+                json.dump({"primes": fingerprint}, f)
 
     def setDebug(self, flag=True):
         if self.executor is not None:
@@ -116,7 +128,7 @@ class HEVM:
     def setInput(self, i, data):
         """Encode+encrypt argument i at its compiled (level, scale)."""
         self.inputs[i] = np.asarray(data, dtype=np.float64)
-        nl = self.prog.arg_level[i] + 1
+        nl = (self.prog.arg_level[i] + 1) * self.scheme.ctx.config.rescale_rows
         scale = float(2.0 ** self.prog.arg_scale[i])
         ct = self.scheme.encrypt(self.inputs[i], scale=scale, nl=nl)
         self._arg_cts[i] = (ct.data, nl, scale)

@@ -28,6 +28,7 @@ class HEVMExecutor:
         """scheme: crypto.Scheme with keys; constants: list of f64 arrays (.cst)."""
         self.s = scheme
         self.ev = scheme.ev
+        self.rr = scheme.ctx.config.rescale_rows   # RNS rows per hevm level
         self.prog = program
         self.constants = constants
         self.plains = [None] * program.num_ptxt      # device planes
@@ -55,7 +56,7 @@ class HEVMExecutor:
                 continue
             level = op.rhs >> 10
             scale = op.rhs & 0x3FF
-            nl = level + 1
+            nl = (level + 1) * self.rr
             if op.lhs == 0xFFFF:
                 data = np.ones(1)
             else:
@@ -146,12 +147,15 @@ class HEVMExecutor:
                 meta[op.dst] = (nl, sc)
             elif oc == OP_RESCALE:
                 nl, sc = meta[op.lhs]
-                ciphers[op.dst] = ev.rescale(ciphers[op.lhs], nl)
-                meta[op.dst] = (nl - 1, sc / self.s.ctx.q_primes[nl - 1])
+                ciphers[op.dst] = ev.rescale_k(ciphers[op.lhs], nl, self.rr)
+                for _ in range(self.rr):        # composite: drop the pair
+                    sc /= self.s.ctx.q_primes[nl - 1]
+                    nl -= 1
+                meta[op.dst] = (nl, sc)
             elif oc == OP_MODSWITCH:
                 nl, sc = meta[op.lhs]
-                ciphers[op.dst] = ev.mod_drop(ciphers[op.lhs], op.rhs)
-                meta[op.dst] = (nl - op.rhs, sc)
+                ciphers[op.dst] = ev.mod_drop(ciphers[op.lhs], op.rhs * self.rr)
+                meta[op.dst] = (nl - op.rhs * self.rr, sc)
             elif oc == OP_UPSCALE:
                 nl, sc = meta[op.lhs]
                 ciphers[op.dst] = ev.upscale(ciphers[op.lhs], nl, op.rhs)
@@ -225,7 +229,7 @@ class HEVMExecutor:
         """
         arg_cts = []
         for i, v in enumerate(arg_values):
-            nl = self.prog.arg_level[i] + 1
+            nl = (self.prog.arg_level[i] + 1) * self.rr
             scale = float(2.0 ** self.prog.arg_scale[i])
             ct = self.s.encrypt(v, scale=scale, nl=nl)
             arg_cts.append((ct.data, nl, scale))
@@ -271,10 +275,13 @@ class HEVMExecutor:
                 meta[op.dst] = meta[op.lhs]
             elif oc == OP_RESCALE:
                 nl, sc = meta[op.lhs]
-                meta[op.dst] = (nl - 1, sc / self.s.ctx.q_primes[nl - 1])
+                for _ in range(self.rr):
+                    sc /= self.s.ctx.q_primes[nl - 1]
+                    nl -= 1
+                meta[op.dst] = (nl, sc)
             elif oc == OP_MODSWITCH:
                 nl, sc = meta[op.lhs]
-                meta[op.dst] = (nl - op.rhs, sc)
+                meta[op.dst] = (nl - op.rhs * self.rr, sc)
             elif oc == OP_UPSCALE:
                 nl, sc = meta[op.lhs]
                 meta[op.dst] = (nl, sc * (2.0 ** op.rhs))
@@ -288,14 +295,15 @@ class HEVMExecutor:
                 meta[op.dst] = (meta[op.lhs][0], meta[op.lhs][1] * self.plain_meta[op.rhs][1])
             elif oc == OP_BOOTSTRAP:
                 nl, sc = meta[op.lhs]
-                meta[op.dst] = (op.rhs + 1, sc)
+                meta[op.dst] = ((op.rhs + 1) * self.rr, sc)
         outs = None
         return outs, [meta[r] for r in self.prog.res_dst]
 
     def _get_compiled(self):
         if self._compiled is None:
             arg_meta = [
-                (self.prog.arg_level[i] + 1, float(2.0 ** self.prog.arg_scale[i]))
+                ((self.prog.arg_level[i] + 1) * self.rr,
+                 float(2.0 ** self.prog.arg_scale[i]))
                 for i in range(self.prog.arg_length)
             ]
 

@@ -36,7 +36,10 @@ def compile_traced(name, pipeline, waterline, profile,
     load_profile(COMPILER_PROFILES[profile])
     fn = load_function(os.path.join(traced_dir, f"{name}.eir.json"))
     prefix = os.path.join(out_dir, pipeline, f"{name}.{waterline}")
+    t0 = time.perf_counter()
     compile_function(fn, pipeline, waterline, out_prefix=prefix)
+    print(f"[hc] compile {name} ({pipeline},{waterline}): "
+          f"{time.perf_counter()-t0:.1f}s", flush=True)
     return f"{prefix}._hecate_{name}.hevm"
 
 
@@ -49,7 +52,9 @@ def run_test(name, pipeline, waterline, profile, inputs, golden,
     hv = os.path.join(out_dir, pipeline, f"{name}.{waterline}._hecate_{name}.hevm")
     if not os.path.exists(hv):
         compile_traced(name, pipeline, waterline, profile, traced_dir, out_dir)
+    t0 = time.perf_counter()
     hevm.load(cst, hv)
+    print(f"[hc] load+preencode: {time.perf_counter()-t0:.1f}s", flush=True)
     for i, dat in enumerate(inputs):
         hevm.setInput(i, dat)
     t0 = time.perf_counter_ns()

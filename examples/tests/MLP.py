@@ -7,7 +7,7 @@ from examples.common import run_test
 from examples.benchmarks.MLP import trace
 
 
-def run(pipeline="pars", waterline=25, profile=None, nt=2 ** 14):
+def run(pipeline="pars", waterline=40, profile=None, nt=2 ** 14):
     profile = profile or "tpu_n14"
     x = make_input()
     w = gen_weights()

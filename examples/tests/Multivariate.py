@@ -7,7 +7,7 @@ from examples.common import run_test
 from examples.benchmarks.Multivariate import trace
 
 
-def run(pipeline="pars", waterline=25, profile=None, nt=4096):
+def run(pipeline="pars", waterline=40, profile=None, nt=4096):
     profile = profile or "tpu_n14"
     rng = np.random.default_rng(100)
     X = [rng.uniform(-1, 1, nt) for _ in range(3)]

@@ -8,7 +8,7 @@ from examples.common import run_test
 from examples.benchmarks.PolynomialRegression import trace
 
 
-def run(pipeline="pars", waterline=25, profile=None, nt=4096):
+def run(pipeline="pars", waterline=40, profile=None, nt=4096):
     profile = profile or "tpu_n14"
     rng = np.random.default_rng(100)
     x = rng.uniform(-1, 1, nt)

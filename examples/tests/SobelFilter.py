@@ -7,7 +7,7 @@ from examples.common import run_test
 from examples.benchmarks.SobelFilter import trace
 
 
-def run(pipeline="pars", waterline=25, profile=None, nt=4096, w=64):
+def run(pipeline="pars", waterline=40, profile=None, nt=4096, w=64):
     profile = profile or "tpu_n14"
     img = np.random.default_rng(100).uniform(0, 1, nt) * 0.5
     trace(nt=nt, w=w)

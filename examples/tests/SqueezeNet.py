@@ -10,7 +10,7 @@ from examples.common import run_test
 from examples.benchmarks.SqueezeNet import trace, get_model
 
 
-def run(pipeline="dacapo", waterline=28, profile=None, nt=2 ** 15):
+def run(pipeline="dacapo", waterline=40, profile=None, nt=2 ** 15):
     profile = profile or "tpu_n16"
     model = get_model()
     x = torch.randn(1, 3, 32, 32, dtype=torch.double,
