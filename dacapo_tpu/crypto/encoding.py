@@ -52,12 +52,56 @@ class Encoder:
         assert m < 2 ** 62, "encoding overflow: scale too large for int64 coeffs"
         return np.round(coeffs).astype(np.int64)
 
+    def _raw_coeffs(self, values: np.ndarray) -> np.ndarray:
+        """Slot values -> unscaled real polynomial coefficients (float64)."""
+        v = np.asarray(values)
+        v = v.ravel().astype(
+            np.complex128 if np.iscomplexobj(v) else np.float64)
+        full = v[np.arange(self.n_slots) % len(v)].astype(np.complex128)
+        spec = np.zeros(self.n, dtype=np.complex128)
+        spec[self.slot_bins] = full
+        spec[self.conj_bins] += np.conj(full)
+        d = np.fft.fft(spec) / self.n
+        return np.real(d * np.conj(self.twist))
+
     def encode(self, values, scale: float, nl: int) -> np.ndarray:
-        """-> uint32 [nl, N] coefficient-domain RNS planes (caller NTTs)."""
-        coeffs = self.coeffs_from_values(values, scale)
+        """-> uint32 [nl, N] coefficient-domain RNS planes (caller NTTs).
+
+        High-scale plans (waterline chains put encode scales at 100+ bits,
+        e.g. SEAL Delta=2^60 + upscales; reference encode_internal handles
+        this via SEAL's big-int encoder) exceed int64 coefficients, so the
+        residues are computed from the float64 mantissa/exponent split:
+        c = mi * 2^k with |mi| <= 2^53, so c mod q = (mi mod q) * (2^k mod q)
+        — every product stays under 2^62 in int64. Precision equals the
+        float64 relative precision of the coefficient, same as the input.
+        """
+        coeffs = self._raw_coeffs(values)
+        prod = coeffs * scale
+        amax = np.abs(prod).max() if prod.size else 0.0
         out = np.empty((nl, self.n), dtype=np.uint32)
+        if amax < 2 ** 62:
+            c = np.round(prod).astype(np.int64)
+            for i in range(nl):
+                out[i] = np.mod(c, self.ctx.q_primes[i]).astype(np.uint32)
+            return out
+        if not np.isfinite(amax):
+            raise OverflowError("encode: scale overflows float64 range")
+        mant, ex = np.frexp(prod)
+        mi = np.round(mant * 2.0 ** 53).astype(np.int64)   # prod = mi * 2^k
+        k = (ex - 53).astype(np.int64)
+        small = k < 0                                      # |prod| < 2^53
+        c_small = np.round(np.where(small, prod, 0.0)).astype(np.int64)
+        kmax = int(k.max())
+        kc = np.clip(k, 0, None)
         for i in range(nl):
-            out[i] = np.mod(coeffs, self.ctx.q_primes[i]).astype(np.uint32)
+            q = int(self.ctx.q_primes[i])
+            powtab = np.empty(kmax + 1, dtype=np.int64)
+            powtab[0] = 1
+            for j in range(1, kmax + 1):
+                powtab[j] = (powtab[j - 1] * 2) % q
+            r_big = (mi % q) * powtab[kc] % q
+            r_small = c_small % q
+            out[i] = np.where(small, r_small, r_big).astype(np.uint32)
         return out
 
     # ----------------------------------------------------------- decode
