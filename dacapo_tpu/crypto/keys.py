@@ -7,10 +7,88 @@ persisted to an on-disk keyset directory like the reference's ~/.hevm/seal.
 """
 
 import os
+from collections import OrderedDict
 from dataclasses import dataclass, field
 
 import numpy as np
 import jax.numpy as jnp
+
+
+class GaloisStore:
+    """Galois-key store: dict-like, optionally host-backed with a budgeted
+    device LRU cache.
+
+    A big program (ResNet: 202 distinct rotation offsets at N=2^15) needs
+    more rotation-key bytes than one chip's HBM can spare, so — unlike the
+    HEaaN VM, which moves its whole fixed keyset to the GPU up front
+    (lib/Runtime/HEAAN_HEVM.cpp:133-141) — keys live in host RAM and at most
+    `budget` bytes are device-resident at once, evicted LRU. With
+    `budget=None` (tests, small profiles) entries stay device-resident and
+    this behaves exactly like the plain dict it replaces.
+    """
+
+    def __init__(self, budget=None):
+        self.budget = budget
+        self._host = {}              # steps -> np.ndarray (authoritative)
+        self._dev = OrderedDict()    # steps -> jnp array (LRU)
+        self._dev_bytes = 0
+
+    def set_budget(self, budget):
+        """Switch to host-backed mode (or tighten the budget): device copies
+        over budget are dropped, host copies become authoritative."""
+        self.budget = budget
+        if budget is None:
+            return
+        for st, arr in list(self._dev.items()):
+            if st not in self._host:
+                self._host[st] = np.asarray(arr)
+        while self._dev_bytes > budget and self._dev:
+            _, old = self._dev.popitem(last=False)
+            self._dev_bytes -= old.nbytes
+
+    def __setitem__(self, st, arr):
+        if self.budget is None:
+            dev = jnp.asarray(arr)
+            if st in self._dev:
+                self._dev_bytes -= self._dev[st].nbytes
+            self._dev[st] = dev
+            self._dev_bytes += dev.nbytes
+        else:
+            self._host[st] = np.asarray(arr)
+            old = self._dev.pop(st, None)
+            if old is not None:
+                self._dev_bytes -= old.nbytes
+
+    def __getitem__(self, st):
+        dev = self._dev.get(st)
+        if dev is not None:
+            self._dev.move_to_end(st)
+            return dev
+        arr = self._host[st]
+        dev = jnp.asarray(arr)
+        self._dev[st] = dev
+        self._dev_bytes += dev.nbytes
+        if self.budget is not None:
+            while self._dev_bytes > self.budget and len(self._dev) > 1:
+                _, old = self._dev.popitem(last=False)
+                self._dev_bytes -= old.nbytes
+        return dev
+
+    def __contains__(self, st):
+        return st in self._dev or st in self._host
+
+    def __len__(self):
+        return len(self._host.keys() | self._dev.keys())
+
+    def __iter__(self):
+        return iter(self._host.keys() | self._dev.keys())
+
+    def keys(self):
+        return self._host.keys() | self._dev.keys()
+
+    def items(self):
+        for st in self.keys():
+            yield st, (self._host[st] if st in self._host else self._dev[st])
 
 
 @dataclass
@@ -18,7 +96,7 @@ class KeySet:
     s_ntt: object                    # uint32 [num_all, N]  (secret; server-side tests only)
     pk: object                       # uint32 [2, num_q, N] (b, a)
     rlk: object                      # uint32 [dnum, 2, num_all, N]
-    galois: dict = field(default_factory=dict)   # steps -> uint32 [dnum, 2, num_all, N]
+    galois: GaloisStore = field(default_factory=GaloisStore)  # steps -> uint32 [dnum, 2, num_all, N]
     conj: object = None              # conjugation key, same shape as rlk
 
 
@@ -80,7 +158,7 @@ class KeyGenerator:
         s2 = mul_mod(s_ntt, s_ntt, *self.ev._mm_consts(all_rows))
         rlk = self._ksk(s_ntt, s2)
 
-        galois = {}
+        galois = GaloisStore()
         for st in rot_steps:
             perm = ctx.rot_perm(st)
             s_rot = s_ntt[:, jnp.asarray(perm, dtype=jnp.int32)]

@@ -50,6 +50,15 @@ class Scheme:
     def ensure_galois(self, rot_steps):
         self.keygen.extend_galois(self.keys, rot_steps)
 
+    def set_key_budget(self, budget_bytes):
+        """Bound device-resident galois-key bytes (host-backed LRU beyond)."""
+        self.keys.galois.set_budget(budget_bytes)
+
+    def galois_key_bytes(self):
+        """Device bytes of ONE rotation key for this context."""
+        cfg = self.ctx.config
+        return cfg.dnum * 2 * cfg.num_all * self.ctx.n * 4
+
     def enable_native_bootstrap(self, cfg=None):
         """Build the native bootstrapper (HEaaN-class path) for this scheme;
         afterwards Bootstrapper(scheme) and the executor use it."""

@@ -31,12 +31,44 @@ class HEVMExecutor:
         self.rr = scheme.ctx.config.rescale_rows   # RNS rows per hevm level
         self.prog = program
         self.constants = constants
-        self.plains = [None] * program.num_ptxt      # device planes
+        self.plains = [None] * program.num_ptxt      # device planes (or host when streaming)
         self.plain_meta = [None] * program.num_ptxt  # (nl, scale)
+        self._pt_cid = [None] * program.num_ptxt     # register -> dedup id
+        self._pt_dev = None                          # cid -> device LRU (streaming)
+        self._pt_dev_bytes = 0
+        self._pt_budget = None
+        self._streaming = False
         self._compiled = None
-        self._bank_tab_cache = {}    # tuple(steps) -> (perms, stacked gks)
+        self._bank_perm_cache = {}   # tuple(steps) -> int32 perms [K, N]
         self.debug = False           # per-op (nl, scale) trace (VM setDebug)
+        self._set_memory_budgets()
         self._prepare_keys()
+
+    # Device-memory plan: one chip's HBM must hold rotation keys, pre-encoded
+    # plaintexts, the ciphertext register file, and XLA workspace. Fractions
+    # of the reported HBM limit; host RAM backs the overflow (LRU streamed).
+    KEY_BUDGET_FRAC = 0.35
+    PTXT_BUDGET_FRAC = 0.25
+
+    def _hbm_limit(self):
+        import jax
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            return int(stats.get("bytes_limit", 0)) or None
+        except Exception:
+            return None
+
+    def _set_memory_budgets(self):
+        limit = self._hbm_limit()
+        if limit is None:
+            limit = 16 << 30 if self.s.ctx.n >= (1 << 15) else None
+        if limit is None:
+            return
+        offs = {o for o in self.prog.rotation_offsets() if o != 0}
+        key_bytes = len(offs) * self.s.galois_key_bytes()
+        if key_bytes > self.KEY_BUDGET_FRAC * limit:
+            self.s.set_key_budget(int(self.KEY_BUDGET_FRAC * limit))
+        self._pt_budget = int(self.PTXT_BUDGET_FRAC * limit)
 
     def setDebug(self, flag=True):
         """Per-op scale/level tracing like the reference VMs' setDebug
@@ -48,9 +80,22 @@ class HEVMExecutor:
         self.s.ensure_galois(offs)
 
     # ------------------------------------------------------------ preprocess
+    NTT_BATCH = (16, 4, 1)   # plaintexts per batched-NTT launch (per nl)
+
     def preprocess(self):
-        """Pre-encode all plaintexts offline (SEAL_HEVM.cpp:242-267)."""
+        """Pre-encode all plaintexts offline (SEAL_HEVM.cpp:242-267).
+
+        Beyond the reference: (a) payload-identical encodes are DEDUPLICATED
+        (privatized constants make CNN masks repeat thousands of times);
+        (b) device NTTs are batched per level; (c) if the unique set exceeds
+        the device budget, encoded planes stay in host RAM and an LRU window
+        of the hottest ones is device-resident (streaming mode)."""
+        import hashlib
+
         enc = self.s.encoder
+        uniq = {}          # (rhs, payload digest) -> cid
+        cid_info = []      # cid -> (data, nl, scale)
+        cid_regs = []      # cid -> [dst regs]
         for op in self.prog.ops:
             if op.opcode != OP_ENCODE:
                 continue
@@ -59,11 +104,71 @@ class HEVMExecutor:
             nl = (level + 1) * self.rr
             if op.lhs == 0xFFFF:
                 data = np.ones(1)
+                key = (op.rhs, b"ones")
             else:
-                data = self.constants[op.lhs]
-            planes = enc.encode(data, float(2.0 ** scale), nl)
-            self.plains[op.dst] = self.ev.ntt(jnp.asarray(planes), list(range(nl)))
+                data = np.ascontiguousarray(self.constants[op.lhs])
+                key = (op.rhs, hashlib.sha1(data.tobytes()).digest())
+            cid = uniq.get(key)
+            if cid is None:
+                cid = uniq[key] = len(cid_info)
+                cid_info.append((data, nl, float(2.0 ** scale)))
+                cid_regs.append([])
+            cid_regs[cid].append(op.dst)
+            self._pt_cid[op.dst] = cid
             self.plain_meta[op.dst] = (nl, float(2.0 ** scale))
+
+        n = self.s.ctx.n
+        total_bytes = sum(nl * n * 4 for _, nl, _ in cid_info)
+        self._streaming = (self._pt_budget is not None
+                           and total_bytes > self._pt_budget)
+        if self._streaming:
+            self._pt_dev = {}
+            self._pt_lru = __import__("collections").OrderedDict()
+
+        # host-encode all unique payloads (coeff domain), grouped by nl
+        by_nl = {}
+        for cid, (data, nl, scale) in enumerate(cid_info):
+            by_nl.setdefault(nl, []).append(cid)
+        cid_planes = [None] * len(cid_info)
+        for nl, cids in by_nl.items():
+            coeffs = [enc.encode(cid_info[c][0], cid_info[c][2], nl)
+                      for c in cids]
+            i = 0
+            while i < len(cids):
+                bsz = next(b for b in self.NTT_BATCH if b <= len(cids) - i)
+                flat = np.concatenate(coeffs[i: i + bsz], axis=0)
+                out = self.ev.ntt(jnp.asarray(flat), list(range(nl)) * bsz)
+                if self._streaming:
+                    out = np.asarray(out)
+                for k in range(bsz):
+                    cid_planes[cids[i + k]] = out[k * nl: (k + 1) * nl]
+                i += bsz
+
+        for cid, planes in enumerate(cid_planes):
+            for dst in cid_regs[cid]:
+                self.plains[dst] = planes
+
+    def _plain(self, plains, idx, nl):
+        """Device planes [:nl] for plaintext register `idx` (LRU-streamed
+        from host RAM when the full pre-encoded set exceeds the budget)."""
+        p = plains[idx]
+        if self._streaming and isinstance(p, np.ndarray):
+            cid = self._pt_cid[idx]
+            dev = self._pt_dev.get(cid)
+            if dev is None:
+                dev = jnp.asarray(p)
+                self._pt_dev[cid] = dev
+                self._pt_dev_bytes += dev.nbytes
+                self._pt_lru[cid] = dev.nbytes
+                while (self._pt_dev_bytes > self._pt_budget
+                       and len(self._pt_lru) > 1):
+                    old, nb = self._pt_lru.popitem(last=False)
+                    del self._pt_dev[old]
+                    self._pt_dev_bytes -= nb
+            else:
+                self._pt_lru.move_to_end(cid)
+            p = dev
+        return p[:nl]
 
     # ------------------------------------------------------------ dispatch
     def _run_trace(self, arg_cts, plains):
@@ -88,21 +193,23 @@ class HEVMExecutor:
         banks_by_src = {}      # (id(src_array), nl) -> bank
         bank_of_dst = {}       # dst reg -> bank
 
-        bank_tabs = self._bank_tab_cache
+        perm_tabs = self._bank_perm_cache
 
         def flush(bank):
             entries = bank["entries"]
             nl = bank["nl"]
             steps = tuple(st for _, st in entries)
-            tabs = bank_tabs.get(steps)
-            if tabs is None:
-                perms = jnp.asarray(
+            perms = perm_tabs.get(steps)
+            if perms is None:
+                perms = perm_tabs[steps] = jnp.asarray(
                     np.stack([self.s.ctx.rot_perm(st) for st in steps]),
                     dtype=jnp.int32,
                 )
-                gks = jnp.stack([self.s.keys.galois[st] for st in steps])
-                tabs = bank_tabs[steps] = (perms, gks)
-            perms, gks = tabs
+            # gks restacked per flush: a cached stack would hold an extra COPY
+            # of every member key per distinct bank (OOM at 200+ keys); the
+            # device-side restack is bandwidth-cheap and lets the GaloisStore
+            # LRU own key residency.
+            gks = jnp.stack([self.s.keys.galois[st] for st in steps])
             out = ev.rotate_batch(bank["src"], nl, perms, gks)
             for k, (dst, _) in enumerate(entries):
                 ciphers[dst] = out[k]
@@ -168,7 +275,8 @@ class HEVMExecutor:
             elif oc == OP_ADDCP:
                 nl, _ = meta[op.lhs]
                 _, psc = self.plain_meta[op.rhs]
-                ciphers[op.dst] = ev.add_pt(ciphers[op.lhs], plains[op.rhs][:nl], nl)
+                ciphers[op.dst] = ev.add_pt(
+                    ciphers[op.lhs], self._plain(plains, op.rhs, nl), nl)
                 meta[op.dst] = (nl, psc)
             elif oc == OP_MULCC:
                 nl, sa = meta[op.lhs]
@@ -178,7 +286,8 @@ class HEVMExecutor:
             elif oc == OP_MULCP:
                 nl, sa = meta[op.lhs]
                 _, psc = self.plain_meta[op.rhs]
-                ciphers[op.dst] = ev.mul_pt(ciphers[op.lhs], plains[op.rhs][:nl], nl)
+                ciphers[op.dst] = ev.mul_pt(
+                    ciphers[op.lhs], self._plain(plains, op.rhs, nl), nl)
                 meta[op.dst] = (nl, sa * psc)
             elif oc == OP_BOOTSTRAP:
                 nl, sc = meta[op.lhs]
@@ -243,6 +352,8 @@ class HEVMExecutor:
         them back via getCtxt (reference SEAL_HEVM.cpp:463-473)."""
         if jit == "auto":
             jit = len(self.prog.ops) <= self.WHOLE_JIT_MAX_OPS
+        if self._streaming:
+            jit = False   # host-streamed plaintexts can't close over a jit
         if jit and any(op.opcode == OP_BOOTSTRAP for op in self.prog.ops):
             from ..crypto.bootstrap import EmulatedBootstrapper, Bootstrapper
             if isinstance(Bootstrapper(self.s), EmulatedBootstrapper):

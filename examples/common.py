@@ -45,8 +45,14 @@ def compile_traced(name, pipeline, waterline, profile,
 
 def run_test(name, pipeline, waterline, profile, inputs, golden,
              postprocess=None, traced_dir="traced", out_dir="optimized",
-             jit=False):
-    """Load artifacts, execute encrypted, compare to `golden`, print report."""
+             jit=False, warmup=0):
+    """Load artifacts, execute encrypted, compare to `golden`, print report.
+
+    warmup: extra untimed runs first. On TPU the first execution of each op
+    signature includes its one-time XLA compile; warmup=1 reports the
+    steady-state latency (every signature hits the jit cache), which is the
+    deployment-serving number comparable to the reference's long-lived VM.
+    """
     hevm = hc.HEVM(profile=profile, jit=jit)
     cst = os.path.join(traced_dir, f"_hecate_{name}.cst")
     hv = os.path.join(out_dir, pipeline, f"{name}.{waterline}._hecate_{name}.hevm")
@@ -57,6 +63,10 @@ def run_test(name, pipeline, waterline, profile, inputs, golden,
     print(f"[hc] load+preencode: {time.perf_counter()-t0:.1f}s", flush=True)
     for i, dat in enumerate(inputs):
         hevm.setInput(i, dat)
+    for w in range(warmup):
+        t0 = time.perf_counter()
+        hevm.run()
+        print(f"[hc] warmup run {w}: {time.perf_counter()-t0:.1f}s", flush=True)
     t0 = time.perf_counter_ns()
     hevm.run()
     latency = (time.perf_counter_ns() - t0) / 1e9

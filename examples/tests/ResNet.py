@@ -9,7 +9,7 @@ from examples.common import run_test
 from examples.benchmarks.ResNet import trace, get_model
 
 
-def run(pipeline="dacapo", waterline=40, profile=None, nt=2 ** 14):
+def run(pipeline="dacapo", waterline=40, profile=None, nt=2 ** 14, **kw):
     profile = profile or "tpu_n15"
     model = get_model()
     x = torch.randn(1, 3, 32, 32, dtype=torch.double,
@@ -20,7 +20,7 @@ def run(pipeline="dacapo", waterline=40, profile=None, nt=2 ** 14):
     packed = resnet_pack_input(x.numpy(), model, nt=nt)
     return run_test("ResNet", pipeline, waterline, profile,
                     [packed], want,
-                    postprocess=lambda res: resnet_postprocess(res[0]))
+                    postprocess=lambda res: resnet_postprocess(res[0]), **kw)
 
 
 if __name__ == "__main__":
