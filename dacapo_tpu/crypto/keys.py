@@ -53,11 +53,22 @@ class GaloisStore:
                 self._dev_bytes -= self._dev[st].nbytes
             self._dev[st] = dev
             self._dev_bytes += dev.nbytes
+            self._host.pop(st, None)   # drop stale host copy (items() prefers it)
         else:
             self._host[st] = np.asarray(arr)
             old = self._dev.pop(st, None)
             if old is not None:
                 self._dev_bytes -= old.nbytes
+
+    def put_host(self, st, arr):
+        """Insert a key host-side only (no device upload): used by keyset
+        loading so device residency is decided lazily by first use, under
+        whatever budget the executor later applies — a keyset larger than
+        HBM must never be eagerly uploaded."""
+        self._host[st] = np.asarray(arr)
+        old = self._dev.pop(st, None)
+        if old is not None:
+            self._dev_bytes -= old.nbytes
 
     def __getitem__(self, st):
         dev = self._dev.get(st)
@@ -257,5 +268,6 @@ def load_keyset(dirpath: str, mode: str = "full") -> KeySet:
     gdir = os.path.join(dirpath, "galois")
     if want_eval and os.path.isdir(gdir):
         for f in os.listdir(gdir):
-            ks.galois[int(f[:-4])] = jnp.asarray(np.load(os.path.join(gdir, f)))
+            # host-side: GaloisStore owns device residency (budget-aware)
+            ks.galois.put_host(int(f[:-4]), np.load(os.path.join(gdir, f)))
     return ks

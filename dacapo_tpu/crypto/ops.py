@@ -9,7 +9,19 @@ way SEAL tracks ciphertext.scale()).
 Ciphertext polys: uint32 [2, nl, N] in NTT domain, rows = Q primes 0..nl-1.
 Plaintext:        uint32 [nl, N] in NTT domain.
 Key-switch keys:  uint32 [dnum, 2, num_all, N] (NTT domain, full QP basis).
+
+Table-argument discipline
+-------------------------
+All N-sized precomputed tables (NTT twiddle/stage planes) are device-resident
+ONCE in a "pack" (pytree of jnp arrays) and passed to every jitted op as an
+ARGUMENT, never closed over: a closed-over array embeds as a constant in each
+trace, so compiled-program size would scale with the twiddle stacks (tens of
+MB at N=2^15 x 35 primes) and blow remote-compile payload limits. With the
+pack as an argument, jit keys on shapes only and programs stay KB-sized.
+Per-level scalar constants ([nl]-sized) are harmless and stay closures.
 """
+
+import contextlib
 
 import numpy as np
 import jax
@@ -26,12 +38,18 @@ def _c(x):
     return jnp.asarray(x, dtype=jnp.uint32)
 
 
-class Evaluator:
-    """Stateless op library bound to one CKKSContext (tables as closures).
+# pack entries that are per-prime scalars ([num_all]); the rest are planes
+_PACK_SCALARS = ("q", "qinv_neg", "rconst", "rconst_shoup", "ninv", "ninv_shoup")
 
-    Methods are jit-cached per static signature (rows tuple / level / offset),
-    so eager use (tests, keygen) compiles each op once as a fused XLA unit;
-    whole-program jit (vm/executor.py) simply inlines them.
+
+class Evaluator:
+    """Stateless op library bound to one CKKSContext.
+
+    Methods are jit-cached per static signature (level / rows tuple / bank
+    size); the shared table pack rides along as an argument (see module
+    docstring), so eager use (tests, keygen) compiles each op once as a fused
+    XLA unit and whole-program jit (vm/executor.py) threads one pack through
+    the entire program via `use_pack`.
     """
 
     def __init__(self, ctx):
@@ -41,6 +59,8 @@ class Evaluator:
         self._tab_cache = {}
         self._fn_cache = {}
         self._pallas_ntt = None
+        self._pack_cache = None
+        self._pack_override = None
         self._ntt_backend = self._pick_ntt_backend()
 
     def _pick_ntt_backend(self):
@@ -75,25 +95,73 @@ class Evaluator:
             self._fn_cache[key] = fn
         return fn
 
-    # ------------------------------------------------------------- tables
+    # ---------------------------------------------------------------- pack
+    def pack(self):
+        """Device-resident global table bundle (passed as jit ARGUMENTS).
+
+        Contains per-prime scalar vectors [num_all] plus the NTT tables for
+        the active backend: compact twiddle rows [num_all, N] (xla) or
+        per-stage plane stacks [num_all, S, N] (pallas)."""
+        if self._pack_override is not None:
+            return self._pack_override
+        if self._pack_cache is None:
+            host = self.ctx.host_tables
+            with jax.ensure_compile_time_eval():
+                d = {k: jnp.asarray(host[k]) for k in _PACK_SCALARS}
+                if self._ntt_backend == "pallas":
+                    pn = self._get_pallas_ntt()
+                    d["ptw"], d["ptws"] = pn.device_planes(False)
+                    d["pitw"], d["pitws"] = pn.device_planes(True)
+                else:
+                    for k in ("tw", "tw_shoup", "itw", "itw_shoup"):
+                        d[k] = jnp.asarray(host[k])
+            self._pack_cache = d
+        return self._pack_cache
+
+    @contextlib.contextmanager
+    def use_pack(self, pk):
+        """Route ops to a caller-supplied pack (an outer jit's traced
+        arguments) for the duration — the whole-program/segment jit hook."""
+        old = self._pack_override
+        self._pack_override = pk
+        try:
+            yield
+        finally:
+            self._pack_override = old
+
+    # in-trace gathers from the pack (constant indices, tiny)
+    @staticmethod
+    def _pk_col(pk, name, rows):
+        idx = np.asarray(rows, dtype=np.int32)
+        return pk[name][idx][:, None]
+
+    def _pkq(self, pk, rows):
+        return self._pk_col(pk, "q", rows)
+
+    def _pkmm(self, pk, rows):
+        idx = np.asarray(rows, dtype=np.int32)
+        return tuple(
+            pk[n][idx][:, None]
+            for n in ("q", "qinv_neg", "rconst", "rconst_shoup")
+        )
+
+    # ------------------------------------------------------- host tables
     def _tabs(self, rows, names):
         key = (tuple(rows), names)
         out = self._tab_cache.get(key)
         if out is None:
-            # Cache HOST numpy slices: always safe to close over (they embed
-            # as constants per trace), never tracers from an enclosing jit.
+            # Host numpy slices for EAGER (non-jitted) callers: keygen,
+            # scheme encrypt/decrypt. Never used inside jitted ops.
             idx = np.asarray(rows, dtype=np.int32)
             host = self.ctx.host_tables
-            scalars = ("q", "qinv_neg", "rconst", "rconst_shoup", "ninv", "ninv_shoup")
             out = tuple(
-                np.ascontiguousarray(host[n][idx][:, None] if n in scalars else host[n][idx])
+                np.ascontiguousarray(
+                    host[n][idx][:, None] if n in _PACK_SCALARS else host[n][idx]
+                )
                 for n in names
             )
             self._tab_cache[key] = out
         return out
-
-    def _rows(self, rows):
-        return self._tabs(tuple(rows), ("tw", "tw_shoup", "itw", "itw_shoup", "q", "ninv", "ninv_shoup"))
 
     def _q(self, rows):
         return self._tabs(tuple(rows), ("q",))[0]
@@ -102,47 +170,72 @@ class Evaluator:
         return self._tabs(tuple(rows), ("q", "qinv_neg", "rconst", "rconst_shoup"))
 
     # ---------------------------------------------------------------- NTT
+    def _ntt(self, x, rows, pk, inverse=False):
+        """In-trace NTT/iNTT: x uint32 [B, N], tables gathered from `pk`."""
+        rows = tuple(rows)
+        idx = np.asarray(rows, dtype=np.int32)
+        if self._ntt_backend == "pallas":
+            from .pallas.ntt_kernel import ntt_pallas
+
+            key = "pitw" if inverse else "ptw"
+            return ntt_pallas(
+                x, jnp.asarray(idx), pk[key], pk[key + "s"],
+                pk["q"][idx], pk["ninv"][idx], pk["ninv_shoup"][idx],
+                self.ctx.logn, inverse,
+            )
+        q = pk["q"][idx][:, None]
+        if inverse:
+            return ntt_inv(
+                x, pk["itw"][idx], pk["itw_shoup"][idx], q,
+                pk["ninv"][idx][:, None], pk["ninv_shoup"][idx][:, None],
+            )
+        return ntt_fwd(x, pk["tw"][idx], pk["tw_shoup"][idx], q)
+
     def ntt(self, x, rows):
         rows = tuple(rows)
-        if self._ntt_backend == "pallas":
-            return self._get_pallas_ntt()(x, rows, inverse=False)
-        tw, tws, _, _, q, _, _ = self._rows(rows)
-        return self._jit(("ntt", rows, x.shape), lambda: lambda y: ntt_fwd(y, tw, tws, q))(x)
+        return self._jit(
+            ("ntt", rows), lambda: lambda y, p: self._ntt(y, rows, p, False)
+        )(x, self.pack())
 
     def intt(self, x, rows):
         rows = tuple(rows)
-        if self._ntt_backend == "pallas":
-            return self._get_pallas_ntt()(x, rows, inverse=True)
-        _, _, itw, itws, q, ninv, ninvs = self._rows(rows)
         return self._jit(
-            ("intt", rows, x.shape), lambda: lambda y: ntt_inv(y, itw, itws, q, ninv, ninvs)
-        )(x)
+            ("intt", rows), lambda: lambda y, p: self._ntt(y, rows, p, True)
+        )(x, self.pack())
 
     # ---------------------------------------------------- pointwise basics
     def add_ct(self, a, b, nl):
-        q = self._q(range(nl))
-        return self._jit(("add_ct", nl), lambda: lambda x, y: add_mod(x, y, q))(a, b)
+        return self._jit(
+            ("add_ct", nl),
+            lambda: lambda x, y, p: add_mod(x, y, self._pkq(p, range(nl))),
+        )(a, b, self.pack())
 
     def sub_ct(self, a, b, nl):
-        q = self._q(range(nl))
-        return self._jit(("sub_ct", nl), lambda: lambda x, y: sub_mod(x, y, q))(a, b)
+        return self._jit(
+            ("sub_ct", nl),
+            lambda: lambda x, y, p: sub_mod(x, y, self._pkq(p, range(nl))),
+        )(a, b, self.pack())
 
     def neg_ct(self, a, nl):
-        q = self._q(range(nl))
-        return self._jit(("neg_ct", nl), lambda: lambda x: neg_mod(x, q))(a)
+        return self._jit(
+            ("neg_ct", nl),
+            lambda: lambda x, p: neg_mod(x, self._pkq(p, range(nl))),
+        )(a, self.pack())
 
     def add_pt(self, ct, pt, nl):
-        q = self._q(range(nl))
         return self._jit(
-            ("add_pt", nl), lambda: lambda c, p: c.at[0].set(add_mod(c[0], p, q))
-        )(ct, pt)
+            ("add_pt", nl),
+            lambda: lambda c, q, p: c.at[0].set(
+                add_mod(c[0], q, self._pkq(p, range(nl)))),
+        )(ct, pt, self.pack())
 
     def mul_pt(self, ct, pt, nl):
-        qq = self._mm_consts(range(nl))
-        return self._jit(
-            ("mul_pt", nl),
-            lambda: lambda c, p: jnp.stack([mul_mod(c[0], p, *qq), mul_mod(c[1], p, *qq)]),
-        )(ct, pt)
+        def make():
+            def f(c, t, p):
+                qq = self._pkmm(p, range(nl))
+                return jnp.stack([mul_mod(c[0], t, *qq), mul_mod(c[1], t, *qq)])
+            return f
+        return self._jit(("mul_pt", nl), make)(ct, pt, self.pack())
 
     def mul_pt_scalar(self, ct, consts, consts_shoup, nl):
         """Multiply by a per-row scalar constant (e.g. native upscale by 2^k).
@@ -162,11 +255,11 @@ class Evaluator:
         sh = [host_shoup(v, q) for v, q in zip(vals, self.ctx.q_primes[:nl])]
         c = _c(np.array(vals, np.uint32))[:, None]
         cs = _c(np.array(sh, np.uint32))[:, None]
-        q = self._q(range(nl))
         return self._jit(
             ("upscale", nl),
-            lambda: lambda x, cc, ss: mul_mod_shoup(x, cc, ss, q),
-        )(ct, c, cs)
+            lambda: lambda x, cc, ss, p: mul_mod_shoup(
+                x, cc, ss, self._pkq(p, range(nl))),
+        )(ct, c, cs, self.pack())
 
     def mod_drop(self, ct, k: int):
         """modswitch by k levels = drop the top k RNS rows (SEAL semantics)."""
@@ -174,7 +267,9 @@ class Evaluator:
 
     # -------------------------------------------------------------- rescale
     def rescale(self, ct, nl):
-        return self._jit(("rescale", nl), lambda: lambda x: self._rescale(x, nl))(ct)
+        return self._jit(
+            ("rescale", nl), lambda: lambda x, p: self._rescale(x, nl, p)
+        )(ct, self.pack())
 
     def rescale_k(self, ct, nl, k: int):
         """Drop k top rows with exact division (composite-level rescale),
@@ -182,34 +277,34 @@ class Evaluator:
         if k == 1:
             return self.rescale(ct, nl)
         return self._jit(
-            ("rescale_k", nl, k), lambda: lambda x: self._rescale_k(x, nl, k)
-        )(ct)
+            ("rescale_k", nl, k), lambda: lambda x, p: self._rescale_k(x, nl, k, p)
+        )(ct, self.pack())
 
-    def _rescale_k(self, x, nl, k):
+    def _rescale_k(self, x, nl, k, pk):
         for i in range(k):
-            x = self._rescale(x, nl - i)
+            x = self._rescale(x, nl - i, pk)
         return x
 
-    def _rescale(self, ct, nl):
+    def _rescale(self, ct, nl, pk):
         """Divide by the top prime q_{nl-1}: exact RNS rescale with centered lift."""
         lc = self.ctx.level(nl)
         rows_lo = list(range(nl - 1))
         top = ct[:, nl - 1, :]                      # [2, N] NTT domain
-        top_c = self.intt(top, [nl - 1] * 2)        # both polys, same prime row
+        top_c = self._ntt(top, [nl - 1] * 2, pk, inverse=True)
         # centered lift: v' = v or v - q_top; residue mod q_i. q_top may be
         # larger than q_i (balanced-pair chains, q_top/q_i < 2), so reduce v
         # mod q_i first, then add the precomputed correction and reduce again.
         half = jnp.uint32(lc.rs_half)
         diff = _c(lc.rs_diff)[None, :, None]        # [1, nl-1, 1]
-        qrow = self._q(rows_lo)[None, :, :]         # [1, nl-1, 1]
+        qrow = self._pkq(pk, rows_lo)[None, :, :]   # [1, nl-1, 1]
         v = top_c[:, None, :]                       # [2, 1, N]
         vm = jnp.where(v >= qrow, v - qrow, v)      # v mod q_i  (q_top < 2 q_i)
         r2 = vm + diff
         r2 = jnp.where(r2 >= qrow, r2 - qrow, r2)
         lifted = jnp.where(v > half, r2, vm)        # [2, nl-1, N]
-        conv = self.ntt(lifted.reshape(2 * (nl - 1), self.n), rows_lo + rows_lo)
+        conv = self._ntt(lifted.reshape(2 * (nl - 1), self.n), rows_lo + rows_lo, pk)
         conv = conv.reshape(2, nl - 1, self.n)
-        q = self._q(rows_lo)
+        q = self._pkq(pk, rows_lo)
         num = sub_mod(ct[:, : nl - 1, :], conv, q)
         inv = _c(lc.rs_inv)[:, None]
         invs = _c(lc.rs_inv_shoup)[:, None]
@@ -218,10 +313,10 @@ class Evaluator:
     # ---------------------------------------------------------- keyswitch
     def keyswitch(self, c_ntt, nl, ksk):
         return self._jit(
-            ("keyswitch", nl), lambda: lambda c, k: self._keyswitch(c, nl, k)
-        )(c_ntt, ksk)
+            ("keyswitch", nl), lambda: lambda c, k, p: self._keyswitch(c, nl, k, p)
+        )(c_ntt, ksk, self.pack())
 
-    def _modup(self, c_ntt, nl):
+    def _modup(self, c_ntt, nl, pk):
         """ModUp decomposition of `c_ntt` (uint32 [nl, N], NTT domain).
 
         Returns uint32 [dnum_active, len(qp_rows), N] digit planes in NTT
@@ -237,7 +332,7 @@ class Evaluator:
         sp_rows = [ctx.config.num_q + i for i in range(alpha)]
         qp_rows = list(range(nl)) + sp_rows
 
-        c_coeff = self.intt(c_ntt, range(nl))
+        c_coeff = self._ntt(c_ntt, range(nl), pk, inverse=True)
 
         # compute all groups' coeff-domain extensions, then ONE batched NTT
         # over the concatenated target planes (fewer Mosaic kernels per graph
@@ -249,9 +344,9 @@ class Evaluator:
             u = mul_mod_shoup(
                 c_coeff[np.asarray(own)],
                 _c(g.t_coef)[:, None], _c(g.t_coef_shoup)[:, None],
-                self._q(own),
+                self._pkq(pk, own),
             )
-            tq = self._q(g.targets)
+            tq = self._pkq(pk, g.targets)
             ext = None
             for gi in range(len(own)):
                 term = mul_mod_shoup(
@@ -260,7 +355,7 @@ class Evaluator:
                 ext = term if ext is None else add_mod(ext, term, tq)
             exts_coeff.append(ext)
             all_target_rows.extend(g.targets)
-        ext_ntt = self.ntt(jnp.concatenate(exts_coeff, axis=0), all_target_rows)
+        ext_ntt = self._ntt(jnp.concatenate(exts_coeff, axis=0), all_target_rows, pk)
 
         digits = []
         off = 0
@@ -272,7 +367,7 @@ class Evaluator:
             own_planes = mul_mod_shoup(
                 c_ntt[np.asarray(own)],
                 _c(g.s_ntt)[:, None], _c(g.s_ntt_shoup)[:, None],
-                self._q(own),
+                self._pkq(pk, own),
             )
             # assemble digit planes in qp_rows order
             planes = {}
@@ -283,7 +378,7 @@ class Evaluator:
             digits.append(jnp.stack([planes[r] for r in qp_rows]))
         return jnp.stack(digits)
 
-    def _ks_inner(self, digits, nl, ksk):
+    def _ks_inner(self, digits, nl, ksk, pk):
         """Inner product of ModUp digits with the key-switch key.
 
         digits: [dnum_active, |QP|, N]; returns (acc0, acc1) over the QP basis.
@@ -292,7 +387,7 @@ class Evaluator:
         alpha = ctx.config.alpha
         sp_rows = [ctx.config.num_q + i for i in range(alpha)]
         qp_rows = list(range(nl)) + sp_rows
-        kq = self._mm_consts(qp_rows)
+        kq = self._pkmm(pk, qp_rows)
         idx = np.asarray(qp_rows)
         nd = digits.shape[0]
         k = ksk[:nd][:, :, idx]           # [nd, 2, |QP|, N]
@@ -305,7 +400,7 @@ class Evaluator:
             acc1 = add_mod(acc1, t1[j], qfull)
         return acc0, acc1
 
-    def _keyswitch(self, c_ntt, nl, ksk):
+    def _keyswitch(self, c_ntt, nl, ksk, pk):
         """Switch the key under poly `c_ntt` (uint32 [nl, N], NTT domain).
 
         Returns (b_add, a_add): uint32 [nl, N] each, to be added to (c0, 0) or
@@ -315,21 +410,21 @@ class Evaluator:
         ctx = self.ctx
         lc = ctx.level(nl)
         sp_rows = [ctx.config.num_q + i for i in range(ctx.config.alpha)]
-        digits = self._modup(c_ntt, nl)
-        acc0, acc1 = self._ks_inner(digits, nl, ksk)
-        return self._mod_down_pair(acc0, acc1, nl, lc, sp_rows)
+        digits = self._modup(c_ntt, nl, pk)
+        acc0, acc1 = self._ks_inner(digits, nl, ksk, pk)
+        return self._mod_down_pair(acc0, acc1, nl, lc, sp_rows, pk)
 
-    def _mod_down_pair(self, x0, x1, nl, lc, sp_rows):
+    def _mod_down_pair(self, x0, x1, nl, lc, sp_rows, pk):
         """ModDown of both keyswitch halves with batched NTT passes."""
         alpha = self.ctx.config.alpha
         xp = jnp.concatenate([x0[nl:], x1[nl:]], axis=0)      # [2a, N]
-        xp_c = self.intt(xp, sp_rows + sp_rows)
-        tq = self._q(sp_rows)
+        xp_c = self._ntt(xp, sp_rows + sp_rows, pk, inverse=True)
+        tq = self._pkq(pk, sp_rows)
         u = mul_mod_shoup(
             xp_c.reshape(2, alpha, self.n),
             _c(lc.md_t)[None, :, None], _c(lc.md_t_shoup)[None, :, None], tq[None],
         )
-        q = self._q(range(nl))
+        q = self._pkq(pk, range(nl))
         conv = None
         for gi in range(alpha):
             term = mul_mod_shoup(
@@ -338,7 +433,7 @@ class Evaluator:
                 q[None],
             )
             conv = term if conv is None else add_mod(conv, term, q[None])
-        conv = self.ntt(conv.reshape(2 * nl, self.n), list(range(nl)) * 2)
+        conv = self._ntt(conv.reshape(2 * nl, self.n), list(range(nl)) * 2, pk)
         conv = conv.reshape(2, nl, self.n)
         pv = _c(lc.pinv)[:, None]
         pvs = _c(lc.pinv_shoup)[:, None]
@@ -349,32 +444,32 @@ class Evaluator:
     # ------------------------------------------------------------ mul / rot
     def mul_ct(self, a, b, nl, rlk):
         return self._jit(
-            ("mul_ct", nl), lambda: lambda x, y, k: self._mul_ct(x, y, nl, k)
-        )(a, b, rlk)
+            ("mul_ct", nl), lambda: lambda x, y, k, p: self._mul_ct(x, y, nl, k, p)
+        )(a, b, rlk, self.pack())
 
-    def _mul_ct(self, a, b, nl, rlk):
+    def _mul_ct(self, a, b, nl, rlk, pk):
         """ct*ct multiply + relinearization."""
-        qq = self._mm_consts(range(nl))
+        qq = self._pkmm(pk, range(nl))
         q = qq[0]
         d0 = mul_mod(a[0], b[0], *qq)
         d1 = add_mod(mul_mod(a[0], b[1], *qq), mul_mod(a[1], b[0], *qq), q)
         d2 = mul_mod(a[1], b[1], *qq)
-        ks0, ks1 = self._keyswitch(d2, nl, rlk)
+        ks0, ks1 = self._keyswitch(d2, nl, rlk, pk)
         return jnp.stack([add_mod(d0, ks0, q), add_mod(d1, ks1, q)])
 
     def square_ct(self, a, nl, rlk):
         return self._jit(
-            ("square_ct", nl), lambda: lambda x, k: self._square_ct(x, nl, k)
-        )(a, rlk)
+            ("square_ct", nl), lambda: lambda x, k, p: self._square_ct(x, nl, k, p)
+        )(a, rlk, self.pack())
 
-    def _square_ct(self, a, nl, rlk):
-        qq = self._mm_consts(range(nl))
+    def _square_ct(self, a, nl, rlk, pk):
+        qq = self._pkmm(pk, range(nl))
         q = qq[0]
         d0 = mul_mod(a[0], a[0], *qq)
         d1 = mul_mod(a[0], a[1], *qq)
         d1 = add_mod(d1, d1, q)
         d2 = mul_mod(a[1], a[1], *qq)
-        ks0, ks1 = self._keyswitch(d2, nl, rlk)
+        ks0, ks1 = self._keyswitch(d2, nl, rlk, pk)
         return jnp.stack([add_mod(d0, ks0, q), add_mod(d1, ks1, q)])
 
     def automorphism(self, planes, perm):
@@ -388,29 +483,22 @@ class Evaluator:
         level serves every rotation offset."""
         perm = jnp.asarray(self.ctx.rot_perm(steps), dtype=jnp.int32)
         return self._jit(
-            ("rotate", nl), lambda: lambda c, p, k: self._rotate(c, nl, p, k)
-        )(ct, perm, gk)
+            ("rotate", nl), lambda: lambda c, pm, k, p: self._rotate(c, nl, pm, k, p)
+        )(ct, perm, gk, self.pack())
 
-    def _rotate(self, ct, nl, perm, gk):
+    def _rotate(self, ct, nl, perm, gk, pk):
         c0p = ct[0][..., perm]
         c1p = ct[1][..., perm]
-        ks0, ks1 = self._keyswitch(c1p, nl, gk)
-        q = self._q(range(nl))
+        ks0, ks1 = self._keyswitch(c1p, nl, gk, pk)
+        q = self._pkq(pk, range(nl))
         return jnp.stack([add_mod(c0p, ks0, q), ks1])
 
     def conjugate(self, ct, nl, ck):
         """Complex-conjugate the slots (automorphism X -> X^{-1})."""
+        perm = jnp.asarray(self.ctx.conj_perm, dtype=jnp.int32)
         return self._jit(
-            ("conj", nl), lambda: lambda c, k: self._conjugate(c, nl, k)
-        )(ct, ck)
-
-    def _conjugate(self, ct, nl, ck):
-        perm = self.ctx.conj_perm
-        c0p = self.automorphism(ct[0], perm)
-        c1p = self.automorphism(ct[1], perm)
-        ks0, ks1 = self._keyswitch(c1p, nl, ck)
-        q = self._q(range(nl))
-        return jnp.stack([add_mod(c0p, ks0, q), ks1])
+            ("conj", nl), lambda: lambda c, pm, k, p: self._rotate(c, nl, pm, k, p)
+        )(ct, perm, ck, self.pack())
 
     # ------------------------------------------------- hoisted rotation bank
     # Bank sizes compiled for rotate_apply: a bank of K rotations dispatches
@@ -422,8 +510,8 @@ class Evaluator:
     def modup(self, c_ntt, nl):
         """Hoisted ModUp digits of one poly (jitted per level)."""
         return self._jit(
-            ("modup", nl), lambda: lambda c: self._modup(c, nl)
-        )(c_ntt)
+            ("modup", nl), lambda: lambda c, p: self._modup(c, nl, p)
+        )(c_ntt, self.pack())
 
     def rotate_apply(self, digits, c0, nl, perms, gks):
         """Apply K rotations given hoisted ModUp digits of c1.
@@ -435,19 +523,19 @@ class Evaluator:
         k = int(perms.shape[0])
         return self._jit(
             ("rotate_apply", nl, k),
-            lambda: lambda d, c, p, g: self._rotate_apply(d, c, nl, p, g),
-        )(digits, c0, perms, gks)
+            lambda: lambda d, c, pm, g, p: self._rotate_apply(d, c, nl, pm, g, p),
+        )(digits, c0, perms, gks, self.pack())
 
-    def _rotate_apply(self, digits, c0, nl, perms, gks):
+    def _rotate_apply(self, digits, c0, nl, perms, gks, pk):
         ctx = self.ctx
         lc = ctx.level(nl)
         sp_rows = [ctx.config.num_q + i for i in range(ctx.config.alpha)]
-        q = self._q(range(nl))
+        q = self._pkq(pk, range(nl))
 
         def one(perm, gk):
             d = digits[..., perm]                # σ commutes with ModUp
-            acc0, acc1 = self._ks_inner(d, nl, gk)
-            b, a = self._mod_down_pair(acc0, acc1, nl, lc, sp_rows)
+            acc0, acc1 = self._ks_inner(d, nl, gk, pk)
+            b, a = self._mod_down_pair(acc0, acc1, nl, lc, sp_rows, pk)
             c0p = c0[..., perm]
             return jnp.stack([add_mod(c0p, b, q), a])
 

@@ -123,8 +123,19 @@ def _ntt_kernel(slot_ref, q_ref, ninv_ref, ninvs_ref, x_ref, tw_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("logn", "inverse", "interpret"))
-def _ntt_pallas(x, slots, planes_tw, planes_tws, qv, ninv, ninvs,
-                logn, inverse, interpret=False):
+def ntt_pallas(x, slots, planes_tw, planes_tws, qv, ninv, ninvs,
+               logn, inverse, interpret=False):
+    """Run the fused NTT kernel. ALL tables are runtime arguments:
+
+    x:      uint32 [B, N] limb planes
+    slots:  int32  [B] row index of each plane into the plane stacks
+    planes_tw/planes_tws: uint32 [P, S, N] per-stage twiddle stacks (global,
+            one block DMA'd per grid step via scalar-prefetch indexing)
+    qv/ninv/ninvs: uint32 [B] per-plane scalars (pre-gathered by the caller).
+
+    Passing the stacks as arguments (not closures) keeps them OUT of the
+    serialized program — compiled size is independent of table content.
+    """
     b, n = x.shape
     r = n // _LANES
     u, s = planes_tw.shape[:2]
@@ -165,61 +176,60 @@ def _ntt_pallas(x, slots, planes_tw, planes_tws, qv, ninv, ninvs,
 
 
 class PallasNTT:
-    """Per-context fused-NTT dispatcher with per-prime plane caches.
+    """Per-context fused-NTT dispatcher over GLOBAL stage-plane stacks.
 
-    Device arrays (stage planes + per-row scalars) are cached per rows-tuple
-    so repeated calls — including from inside outer jit traces, where they
-    close over as constants — never re-upload the multi-MB twiddle stacks.
+    One [P, S, N] stack per direction covers every prime in the context;
+    each call indexes it with the plane's global row id (scalar prefetch), so
+    there is exactly one device copy of the twiddle data regardless of how
+    many rows-signatures are used. Callers inside jit traces must thread the
+    stacks as arguments (Evaluator.pack) — see module docstring.
     """
 
     def __init__(self, ctx, interpret=False):
         self.ctx = ctx
         self.logn = ctx.logn
         self.interpret = interpret
-        self._plane_cache = {}   # (prime_row, inverse) -> (tw, tws) [S, N] np
-        self._call_cache = {}    # (rows tuple, inverse) -> device arg bundle
+        self._host_planes = {}   # inverse -> (tw, tws) np [P, S, N]
+        self._dev_planes = {}    # inverse -> (tw, tws) jnp [P, S, N]
 
-    def _planes(self, rows, inverse):
-        host = self.ctx.host_tables
-        key_tw = "itw" if inverse else "tw"
-        uniq = sorted(set(rows))
-        slot_of = {r: i for i, r in enumerate(uniq)}
-        tws, twss = [], []
-        for r in uniq:
-            ck = (r, inverse)
-            got = self._plane_cache.get(ck)
-            if got is None:
-                p = build_stage_planes(self.ctx.n, host[key_tw][r], self.logn)
-                ps = build_stage_planes(
-                    self.ctx.n, host[key_tw + "_shoup"][r], self.logn)
-                if inverse:
-                    p, ps = p[::-1].copy(), ps[::-1].copy()
-                got = self._plane_cache[ck] = (p, ps)
-            tws.append(got[0])
-            twss.append(got[1])
-        slots = np.array([slot_of[r] for r in rows], dtype=np.int32)
-        return np.stack(tws), np.stack(twss), slots
-
-    def _args(self, rows, inverse):
-        key = (rows, inverse)
-        got = self._call_cache.get(key)
+    def host_planes(self, inverse):
+        got = self._host_planes.get(inverse)
         if got is None:
             host = self.ctx.host_tables
-            tw, tws, slots = self._planes(rows, inverse)
-            idx = np.asarray(rows)
-            # Concrete even when first touched inside an outer jit trace
-            # (plain jnp.asarray would stage a device_put and leak a tracer
-            # into the cache).
+            key = "itw" if inverse else "tw"
+            n = self.ctx.n
+            P = len(self.ctx.primes)
+            tw = np.stack([
+                build_stage_planes(n, host[key][r], self.logn)
+                for r in range(P)
+            ])
+            tws = np.stack([
+                build_stage_planes(n, host[key + "_shoup"][r], self.logn)
+                for r in range(P)
+            ])
+            if inverse:   # inverse runs the stages in reverse order
+                tw = tw[:, ::-1].copy()
+                tws = tws[:, ::-1].copy()
+            got = self._host_planes[inverse] = (tw, tws)
+        return got
+
+    def device_planes(self, inverse):
+        got = self._dev_planes.get(inverse)
+        if got is None:
+            tw, tws = self.host_planes(inverse)
+            # Concrete even when first touched inside an outer jit trace.
             with jax.ensure_compile_time_eval():
-                got = self._call_cache[key] = tuple(
-                    jnp.asarray(v) for v in (
-                        slots, tw, tws, host["q"][idx],
-                        host["ninv"][idx], host["ninv_shoup"][idx],
-                    )
-                )
+                got = self._dev_planes[inverse] = (
+                    jnp.asarray(tw), jnp.asarray(tws))
         return got
 
     def __call__(self, x, rows, inverse=False):
-        slots, tw, tws, qv, ninv, ninvs = self._args(tuple(rows), inverse)
-        return _ntt_pallas(x, slots, tw, tws, qv, ninv, ninvs,
-                           self.logn, inverse, self.interpret)
+        rows = tuple(rows)
+        tw, tws = self.device_planes(inverse)
+        idx = np.asarray(rows, dtype=np.int32)
+        host = self.ctx.host_tables
+        return ntt_pallas(
+            x, jnp.asarray(idx), tw, tws,
+            jnp.asarray(host["q"][idx]), jnp.asarray(host["ninv"][idx]),
+            jnp.asarray(host["ninv_shoup"][idx]),
+            self.logn, inverse, self.interpret)

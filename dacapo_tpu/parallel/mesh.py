@@ -69,20 +69,24 @@ class BatchedEvaluator:
     def eval_step(self, nl, rot_steps=1):
         """A representative jitted encrypted step over a batch:
         y = rescale( (a*b) + rotate(a, k) * pt ) — exercises mul+relin
-        keyswitch, galois rotation, plaintext mul, and rescale, batched."""
+        keyswitch, galois rotation, plaintext mul, and rescale, batched.
+
+        The twiddle/scalar table pack rides in as an argument (replicated):
+        see crypto/ops.py table-argument discipline."""
         ev = self.ev
-        s = self.s
+        from ..crypto.modmath import mul_mod, add_mod
 
-        def one(a, b, pt, rlk, gk):
-            m = ev._mul_ct(a, b, nl, rlk)
+        def one(a, b, pt, rlk, gk, pk):
+            m = ev._mul_ct(a, b, nl, rlk, pk)
             perm = jnp.asarray(self.s.ctx.rot_perm(rot_steps), dtype=jnp.int32)
-            r = ev._rotate(a, nl, perm, gk)
-            r = ev.mul_pt(r, pt, nl)
-            x = ev.add_ct(m, r, nl)
-            return ev._rescale(x, nl)
+            r = ev._rotate(a, nl, perm, gk, pk)
+            qq = ev._pkmm(pk, range(nl))
+            r = jnp.stack([mul_mod(r[0], pt, *qq), mul_mod(r[1], pt, *qq)])
+            x = add_mod(m, r, qq[0])
+            return ev._rescale(x, nl, pk)
 
-        def step(abatch, bbatch, pt, rlk, gk):
-            return jax.vmap(lambda a, b: one(a, b, pt, rlk, gk))(abatch, bbatch)
+        def step(abatch, bbatch, pt, rlk, gk, pk):
+            return jax.vmap(lambda a, b: one(a, b, pt, rlk, gk, pk))(abatch, bbatch)
 
         return step
 
@@ -93,14 +97,18 @@ class BatchedEvaluator:
         cs = batch_sharding(mesh)
         ks = key_sharding(mesh)
         ps = plain_sharding(mesh)
+        pk = self.ev.pack()
+        pk_shard = jax.tree.map(
+            lambda x: NamedSharding(mesh, P(*([None] * x.ndim))), pk)
         step = self.eval_step(nl, rot_steps)
         fn = jax.jit(
             step,
-            in_shardings=(cs, cs, ps, ks, ks),
+            in_shardings=(cs, cs, ps, ks, ks, pk_shard),
             out_shardings=NamedSharding(mesh, P("dp", None, None, None)),
         )
         gk = s.keys.galois[rot_steps]
-        return fn, (batch, batch, jnp.zeros_like(batch[0, 0]) + 1, s.keys.rlk, gk)
+        return fn, (batch, batch, jnp.zeros_like(batch[0, 0]) + 1,
+                    s.keys.rlk, gk, pk)
 
 
 def dryrun(n_devices, profile="test_n8", batch=None):

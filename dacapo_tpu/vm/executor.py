@@ -59,14 +59,22 @@ class HEVMExecutor:
             return None
 
     def _set_memory_budgets(self):
-        limit = self._hbm_limit()
+        import os
+        env = os.environ.get("DACAPO_TPU_HBM_BYTES")
+        limit = int(env) if env else self._hbm_limit()
         if limit is None:
+            # memory_stats unavailable (e.g. remote-tunnel backends): assume a
+            # 16GB chip for big-N profiles; override with DACAPO_TPU_HBM_BYTES.
             limit = 16 << 30 if self.s.ctx.n >= (1 << 15) else None
         if limit is None:
             return
         offs = {o for o in self.prog.rotation_offsets() if o != 0}
         key_bytes = len(offs) * self.s.galois_key_bytes()
         if key_bytes > self.KEY_BUDGET_FRAC * limit:
+            import sys
+            print(f"[hevm] galois keys {key_bytes >> 20} MiB exceed budget "
+                  f"{int(self.KEY_BUDGET_FRAC * limit) >> 20} MiB: "
+                  "streaming keys from host (LRU)", file=sys.stderr)
             self.s.set_key_budget(int(self.KEY_BUDGET_FRAC * limit))
         self._pt_budget = int(self.PTXT_BUDGET_FRAC * limit)
 
@@ -362,7 +370,7 @@ class HEVMExecutor:
             jit = False      # tracing prints per-op host metadata
         if jit:
             fn = self._get_compiled()
-            outs = fn([c[0] for c in arg_cts], self.plains)
+            outs = fn([c[0] for c in arg_cts], self.plains, self.ev.pack())
             _, out_meta = self._meta_only(arg_cts)
         else:
             outs, out_meta = self._run_trace(arg_cts, self.plains)
@@ -418,11 +426,14 @@ class HEVMExecutor:
                 for i in range(self.prog.arg_length)
             ]
 
-            def f(arg_datas, plains):
+            def f(arg_datas, plains, pk):
                 arg_cts = [
                     (d, nl, sc) for d, (nl, sc) in zip(arg_datas, arg_meta)
                 ]
-                outs, _ = self._run_trace(arg_cts, plains)
+                # pack rides in as a traced argument so the program embeds no
+                # twiddle-table constants (see crypto/ops.py docstring)
+                with self.ev.use_pack(pk):
+                    outs, _ = self._run_trace(arg_cts, plains)
                 return outs
 
             self._compiled = jax.jit(f)

@@ -45,14 +45,18 @@ def compile_traced(name, pipeline, waterline, profile,
 
 def run_test(name, pipeline, waterline, profile, inputs, golden,
              postprocess=None, traced_dir="traced", out_dir="optimized",
-             jit=False, warmup=0):
+             jit=False, warmup=None):
     """Load artifacts, execute encrypted, compare to `golden`, print report.
 
     warmup: extra untimed runs first. On TPU the first execution of each op
-    signature includes its one-time XLA compile; warmup=1 reports the
-    steady-state latency (every signature hits the jit cache), which is the
-    deployment-serving number comparable to the reference's long-lived VM.
+    signature includes its one-time XLA compile; warmup=1 (the accelerator
+    default) reports the steady-state latency (every signature hits the jit
+    cache), which is the deployment-serving number comparable to the
+    reference's long-lived VM. CPU test boxes default to 0.
     """
+    if warmup is None:
+        import jax
+        warmup = 1 if jax.devices()[0].platform in ("tpu", "axon") else 0
     hevm = hc.HEVM(profile=profile, jit=jit)
     cst = os.path.join(traced_dir, f"_hecate_{name}.cst")
     hv = os.path.join(out_dir, pipeline, f"{name}.{waterline}._hecate_{name}.hevm")
