@@ -64,8 +64,8 @@ class Encoder:
         d = np.fft.fft(spec) / self.n
         return np.real(d * np.conj(self.twist))
 
-    def encode(self, values, scale: float, nl: int) -> np.ndarray:
-        """-> uint32 [nl, N] coefficient-domain RNS planes (caller NTTs).
+    def _rns_residues(self, prod: np.ndarray, nl: int) -> np.ndarray:
+        """float64 [..., N] scaled coefficients -> uint32 [..., nl, N] planes.
 
         High-scale plans (waterline chains put encode scales at 100+ bits,
         e.g. SEAL Delta=2^60 + upscales; reference encode_internal handles
@@ -75,14 +75,13 @@ class Encoder:
         — every product stays under 2^62 in int64. Precision equals the
         float64 relative precision of the coefficient, same as the input.
         """
-        coeffs = self._raw_coeffs(values)
-        prod = coeffs * scale
+        lead = prod.shape[:-1]
         amax = np.abs(prod).max() if prod.size else 0.0
-        out = np.empty((nl, self.n), dtype=np.uint32)
+        out = np.empty(lead + (nl, self.n), dtype=np.uint32)
         if amax < 2 ** 62:
             c = np.round(prod).astype(np.int64)
             for i in range(nl):
-                out[i] = np.mod(c, self.ctx.q_primes[i]).astype(np.uint32)
+                out[..., i, :] = np.mod(c, self.ctx.q_primes[i])
             return out
         if not np.isfinite(amax):
             raise OverflowError("encode: scale overflows float64 range")
@@ -101,8 +100,34 @@ class Encoder:
                 powtab[j] = (powtab[j - 1] * 2) % q
             r_big = (mi % q) * powtab[kc] % q
             r_small = c_small % q
-            out[i] = np.where(small, r_small, r_big).astype(np.uint32)
+            out[..., i, :] = np.where(small, r_small, r_big)
         return out
+
+    def encode(self, values, scale: float, nl: int) -> np.ndarray:
+        """-> uint32 [nl, N] coefficient-domain RNS planes (caller NTTs)."""
+        return self._rns_residues(self._raw_coeffs(values) * scale, nl)
+
+    def encode_batch(self, values_list, scales, nl: int) -> np.ndarray:
+        """Encode B payloads at once -> uint32 [B, nl, N].
+
+        One vectorized FFT over the whole batch instead of B separate calls —
+        the reference preprocess() encodes constants one at a time
+        (lib/Runtime/SEAL_HEVM.cpp:242-267); CNN plans have thousands, so the
+        batched path is what makes load-time preprocessing seconds-scale.
+        """
+        b = len(values_list)
+        full = np.empty((b, self.n_slots), dtype=np.complex128)
+        ar = np.arange(self.n_slots)
+        for i, v in enumerate(values_list):
+            v = np.asarray(v).ravel()
+            full[i] = v[ar % len(v)]
+        spec = np.zeros((b, self.n), dtype=np.complex128)
+        spec[:, self.slot_bins] = full
+        spec[:, self.conj_bins] += np.conj(full)
+        d = np.fft.fft(spec, axis=1) / self.n
+        coeffs = np.real(d * np.conj(self.twist))
+        prod = coeffs * np.asarray(scales, dtype=np.float64)[:, None]
+        return self._rns_residues(prod, nl)
 
     # ----------------------------------------------------------- decode
     def values_from_coeffs(self, coeffs_float: np.ndarray, scale: float,

@@ -99,7 +99,12 @@ class GaloisStore:
 
     def items(self):
         for st in self.keys():
-            yield st, (self._host[st] if st in self._host else self._dev[st])
+            yield st, self.peek(st)
+
+    def peek(self, st):
+        """Read without promoting to the device cache (host copy preferred):
+        for persistence paths, where a __getitem__ would pointlessly upload."""
+        return self._host[st] if st in self._host else self._dev[st]
 
 
 @dataclass
@@ -229,23 +234,37 @@ class KeyGenerator:
         return jnp.stack(digits)
 
 
-def save_keyset(keyset: KeySet, dirpath: str, parts=("secret", "public", "eval")):
+def save_keyset(keyset: KeySet, dirpath: str, parts=("secret", "public", "eval"),
+                skip_existing=False):
     """Persist a keyset directory (reference ~/.hevm/{seal,heaan} keysets,
     SEAL_HEVM.cpp:44-89). `parts` selects what is written so a deployment can
-    ship the client (secret+public) and server (eval) halves separately."""
+    ship the client (secret+public) and server (eval) halves separately.
+
+    skip_existing: only write keys whose file is absent — the incremental
+    path used after extend_galois so a load() never re-downloads (D2H is the
+    slow direction on tunneled TPU setups) or rewrites the full keyset.
+    Callers that REGENERATE keys must wipe the directory first."""
     os.makedirs(dirpath, exist_ok=True)
-    if "secret" in parts and keyset.s_ntt is not None:
-        np.save(os.path.join(dirpath, "s_ntt.npy"), np.asarray(keyset.s_ntt))
-    if "public" in parts and keyset.pk is not None:
-        np.save(os.path.join(dirpath, "pk.npy"), np.asarray(keyset.pk))
+
+    def _put(name, arr):
+        p = os.path.join(dirpath, name)
+        if arr is None or (skip_existing and os.path.exists(p)):
+            return
+        np.save(p, np.asarray(arr))
+
+    if "secret" in parts:
+        _put("s_ntt.npy", keyset.s_ntt)
+    if "public" in parts:
+        _put("pk.npy", keyset.pk)
     if "eval" in parts:
-        if keyset.rlk is not None:
-            np.save(os.path.join(dirpath, "rlk.npy"), np.asarray(keyset.rlk))
-        if keyset.conj is not None:
-            np.save(os.path.join(dirpath, "conj.npy"), np.asarray(keyset.conj))
+        _put("rlk.npy", keyset.rlk)
+        _put("conj.npy", keyset.conj)
         os.makedirs(os.path.join(dirpath, "galois"), exist_ok=True)
-        for st, gk in keyset.galois.items():
-            np.save(os.path.join(dirpath, "galois", f"{st}.npy"), np.asarray(gk))
+        for st in keyset.galois.keys():
+            p = os.path.join(dirpath, "galois", f"{st}.npy")
+            if skip_existing and os.path.exists(p):
+                continue
+            np.save(p, np.asarray(keyset.galois.peek(st)))
 
 
 def load_keyset(dirpath: str, mode: str = "full") -> KeySet:

@@ -79,17 +79,31 @@ class CKKSConfig:
 
 
 # Profiles analogous to the reference's profiled_{SEAL,HEAAN}_{CPU,GPU}.json.
+#
+# SECURITY. 128-bit RLWE security caps log2(QP) per ring degree (HE standard
+# ternary-secret table): N=2^14 -> ~440 bits, N=2^15 -> ~880, N=2^16 -> ~1770.
+# Profiles marked PARITY below EXCEED the cap for their N — they exist to
+# reproduce the reference benchmark regimes (SEAL's 14x60-bit chain plus our
+# key-switching specials) at matching slot counts and are NOT for production
+# use; deploy the *_sec variants (or tpu_n16) instead. `CKKSContext.logqp`
+# reports the actual modulus size.
 PROFILES = {
-    # parity-scale profile (reference SEAL: N=2^15, 14 levels of Delta=2^60:
-    # profiled_SEAL_CPU.json:2-8, SEAL_HEVM.cpp:39-53). Composite rescale:
-    # 28 u32 rows = 14 levels of rf=60, waterline-40 programs match the
-    # reference's `hbt dacapo 40 ...` regime with SEAL-class scale exactness.
+    # PARITY profile (insecure: logQP ~ 1057 > 880). Reference SEAL regime:
+    # N=2^15, 14 levels of Delta=2^60 (profiled_SEAL_CPU.json:2-8,
+    # SEAL_HEVM.cpp:39-53). Composite rescale: 28 u32 rows = 14 levels of
+    # rf=60, waterline-40 programs match the reference's `hbt dacapo 40 ...`
+    # regime with SEAL-class scale exactness.
     "tpu_n15": CKKSConfig(n=1 << 15, num_q=28, alpha=7, prime_bits=30,
                           scale_bits=40, rescale_rows=2),
-    # bootstrap-capable profile (reference HEaaN FVa-class; config.json:2-6)
+    # 128-bit-secure N=2^15 variant: logQP ~ 817 <= 880 (10 levels of rf=60).
+    "tpu_n15_sec": CKKSConfig(n=1 << 15, num_q=20, alpha=7, prime_bits=30,
+                              scale_bits=40, rescale_rows=2),
+    # bootstrap-capable profile (reference HEaaN FVa-class; config.json:2-6).
+    # logQP ~ 1210 <= 1770 at N=2^16: 128-bit secure.
     "tpu_n16": CKKSConfig(n=1 << 16, num_q=30, alpha=10, prime_bits=30,
                           scale_bits=28, secret_h=192),
-    # N=2^14-class traces (reference hc-test SEAL runs trace at nt=2^14)
+    # PARITY profile (insecure: logQP ~ 604 > 440): N=2^14-class traces
+    # (reference hc-test SEAL runs trace at nt=2^14)
     "tpu_n14": CKKSConfig(n=1 << 14, num_q=16, alpha=4, prime_bits=30,
                           scale_bits=40, rescale_rows=2),
     # insecure tiny profiles for unit tests
@@ -107,6 +121,7 @@ PROFILES = {
 # crypto profile name -> compiler profile json (dacapo_tpu/profiles/)
 COMPILER_PROFILES = {
     "tpu_n15": "profiled_TPU_n15",
+    "tpu_n15_sec": "profiled_TPU_n15_sec",
     "tpu_n16": "profiled_TPU_n16",
     "tpu_n14": "profiled_TPU_n14",
     "test_n10": "profiled_TPU_test_n10",
@@ -181,6 +196,8 @@ class CKKSContext:
         self.primes = self.q_primes + self.p_primes  # row order
         self.n = n
         self.logn = n.bit_length() - 1
+        # total modulus size in bits (the RLWE security budget; see PROFILES)
+        self.logqp = sum(p.bit_length() for p in self.primes)
 
         self._build_ntt_tables()
         self._build_level_consts()

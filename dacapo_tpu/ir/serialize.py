@@ -95,7 +95,9 @@ def load_function(path: str) -> Function:
         )
         vals[i] = op.result
         ops.append(op)
+    attrs = dict(doc.get("attrs", {}))
+    if "arg_attrs" in attrs:   # JSON stringifies the int arg-index keys
+        attrs["arg_attrs"] = {int(k): v for k, v in attrs["arg_attrs"].items()}
     return Function(
-        doc["name"], args, ops, [vals[r] for r in doc["returns"]],
-        dict(doc.get("attrs", {})),
+        doc["name"], args, ops, [vals[r] for r in doc["returns"]], attrs,
     )

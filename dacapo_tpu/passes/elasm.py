@@ -79,31 +79,31 @@ def _inner_pipeline(fn, waterline, output_val, cfg, rng):
     return lat, err
 
 
-def elasm_explorer(fn: Function, waterline: int, output_val: int = 0,
-                   config=None, parallel=20, num_iter=1000, beta=50.0,
-                   gamma=50.0, seed=None):
-    cfg = config or current_config()
-    rng = np.random.default_rng(seed)
-    smu = ScaleManagementUnit(fn)
-    smu.attach()
+def _explore_chains(fn, n_chains, num_iter, waterline, output_val,
+                    beta, gamma, rng, cfg):
+    """Run `n_chains` independent Metropolis explorer chains for `num_iter`
+    iterations; returns (best_plan, best_cost). Infeasible plans (type
+    inference fails — the reference uses pass failure as the feasibility
+    probe) are skipped; any other exception is a real bug and propagates."""
+    from .scale import TypeInferenceError
 
     def cost_func(lat, err):
         return math.sqrt(max(lat, 1e-12)) * (beta + math.log2(max(err, 1e-300)))
 
-    plans = [([], [], [])] * parallel
-    costs = [float("inf")] * parallel
+    plans = [([], [], [])] * n_chains
+    costs = [float("inf")] * n_chains
     opt_cost = float("inf")
     opt_plan = ([], [], [])
 
     for _ in range(num_iter):
-        for i in range(parallel):
+        for i in range(n_chains):
             dup, _ = fn.clone()
             dup.attrs["sm_plan_edge"] = list(plans[i][0])
             dup.attrs["sm_plan_scale"] = list(plans[i][1])
             dup.attrs["sm_plan_level"] = list(plans[i][2])
             try:
                 lat, err = _inner_pipeline(dup, waterline, output_val, cfg, rng)
-            except Exception:
+            except TypeInferenceError:
                 continue
             cost = cost_func(lat, err)
             plan = (dup.attrs["sm_plan_edge"], dup.attrs["sm_plan_scale"],
@@ -115,6 +115,57 @@ def elasm_explorer(fn: Function, waterline: int, output_val: int = 0,
             if cost < opt_cost:
                 opt_plan = plan
                 opt_cost = cost
+    return opt_plan, opt_cost
+
+
+def _elasm_worker(args):
+    """Process-pool entry: one block of explorer chains (the reference fans
+    its 20 explorers out over std::threads, ELASMExplorer.cpp:93-111)."""
+    (fn_path, n_chains, num_iter, waterline, output_val, beta, gamma,
+     seed, cfg) = args
+    from ..ir.serialize import load_function
+    fn = load_function(fn_path)
+    rng = np.random.default_rng(seed)
+    plan, cost = _explore_chains(fn, n_chains, num_iter, waterline,
+                                 output_val, beta, gamma, rng, cfg)
+    return plan, cost
+
+
+def elasm_explorer(fn: Function, waterline: int, output_val: int = 0,
+                   config=None, parallel=20, num_iter=1000, beta=50.0,
+                   gamma=50.0, seed=None, workers=None):
+    cfg = config or current_config()
+    rng = np.random.default_rng(seed)
+    smu = ScaleManagementUnit(fn)
+    smu.attach()
+
+    if workers is None:
+        import os
+        workers = min(os.cpu_count() or 1, parallel)
+    if workers > 1 and parallel > 1:
+        import os
+        import tempfile
+        import multiprocessing as mp
+        from ..ir.serialize import save_function
+        with tempfile.NamedTemporaryFile(
+                suffix=".eir.json", delete=False) as tf:
+            fn_path = tf.name
+        save_function(fn, fn_path)
+        base = [parallel // workers] * workers
+        for i in range(parallel % workers):
+            base[i] += 1
+        seeds = rng.integers(0, 2 ** 31, size=workers)
+        jobs = [(fn_path, b, num_iter, waterline, output_val, beta, gamma,
+                 int(s), cfg) for b, s in zip(base, seeds) if b > 0]
+        ctx = mp.get_context("spawn")   # no forked TPU-client state
+        with ctx.Pool(len(jobs)) as pool:
+            results = pool.map(_elasm_worker, jobs)
+        os.unlink(fn_path)
+        opt_plan, opt_cost = min(results, key=lambda r: r[1])
+    else:
+        opt_plan, opt_cost = _explore_chains(
+            fn, parallel, num_iter, waterline, output_val, beta, gamma,
+            rng, cfg)
 
     # apply the winning plan to the real function
     fn.attrs["sm_plan_edge"] = list(opt_plan[0])

@@ -22,9 +22,14 @@ def run_scale_pipeline(fn: Function, pipeline: str, waterline: int,
     cfg = config or current_config()
     if check_smu:
         # --enable-check-smu (optimizer.cpp:246-254): embed SMU ids on the
-        # unmanaged IR (SMUEmbedding), verify them after the walk.
+        # unmanaged IR (SMUEmbedding), verify them after the walk. The full
+        # definition-uniqueness verify (ScaleManagementUnit.cpp:372-507)
+        # only applies pre-management.
         from .smu import ScaleManagementUnit
-        ScaleManagementUnit(fn).attach()
+        smu0 = ScaleManagementUnit(fn)
+        assert smu0.verify_definitions(), \
+            "SMU analysis invalid: definition/consumeness violation"
+        smu0.attach()
     if pipeline == "eva":
         waterline_rescaling(fn, waterline, output_val, config=cfg)
     elif pipeline == "pars":

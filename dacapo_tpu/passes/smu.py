@@ -129,12 +129,13 @@ class ScaleManagementUnit:
 
         self.noisy = [False] * id_num
         for v, i in self.ids.items():
-            if not v.is_arg and v.def_op.opcode == "rotate":
+            if i >= 0 and not v.is_arg and v.def_op.opcode == "rotate":
                 self.noisy[i] = True
 
         self.id_to_values = [[] for _ in range(id_num)]
         for v, i in self.ids.items():
-            self.id_to_values[i].append(v)
+            if i >= 0:     # -1 = management-inserted value (attached mode)
+                self.id_to_values[i].append(v)
 
         # edges: (operand_id, user_id) over SMU-crossing uses;
         # edge_to_oper[e] = list of (user_op, operand_index)
@@ -193,9 +194,81 @@ class ScaleManagementUnit:
         self.fn.attrs["smu_attached"] = False
 
     def verify(self):
-        """SMUChecker semantics: every group shares (scale, level)."""
+        """SMUChecker post-management invariant (SMUChecker.cpp:44-96):
+        every group shares (scale, level). Management-inserted values
+        (id -1) are skipped like the reference's `if (ID == -1) return`."""
         for vals in self.id_to_values:
             tys = {(v.ty.scale, v.ty.level) for v in vals}
             if len(tys) > 1:
                 return False
+        return True
+
+    def verify_definitions(self):
+        """Full pre-management verify (ScaleManagementUnit.cpp:372-507):
+
+        1. the (scale, level) invariant of verify();
+        2. consumeness is constant within a group;
+        3. every value of a group has the SAME forward definition (set of
+           operand group-ids, self-edges expanded through the group's
+           canonical definition; consuming groups may not have self-edges)
+           and the same backward definition (over users, -1 = func return);
+        4. (fwd, bwd, consumeness) definitions are UNIQUE across groups —
+           two groups with identical definitions should have been merged.
+        """
+        if not self.verify():
+            return False
+        fn = self.fn
+        for op in fn.ops:
+            if op.opcode in _MGMT:
+                return False          # managed IR unsupported (reference parity)
+        values = list(fn.args) + [op.result for op in fn.ops]
+
+        consume = {}
+        for v in values:
+            isc = (not v.is_arg) and v.def_op.is_consume()
+            if consume.setdefault(self.get_id(v), isc) != isc:
+                return False
+        fwd = {}
+        for v in values:
+            vid = self.get_id(v)
+            d = set()
+            if not v.is_arg:
+                for o in v.def_op.operands:
+                    oid = self.get_id(o)
+                    if oid == vid:
+                        if consume[vid] or oid not in fwd:
+                            return False   # consuming self-edge / use-before-def
+                        d |= fwd[oid]      # self-edge replaced by canonical def
+                    else:
+                        d.add(oid)
+            if fwd.setdefault(vid, d) != d:
+                return False               # definition mismatch within group
+        vusers = {v: [] for v in values}
+        for op in fn.ops:
+            for o in op.operands:
+                if o in vusers:
+                    vusers[o].append(op)
+        for r in fn.returns:
+            vusers[r].append(None)         # func return = user id -1
+        bwd = {}
+        for v in reversed(values):
+            vid = self.get_id(v)
+            d = set()
+            for uop in vusers[v]:
+                uid = -1 if uop is None else self.get_id(uop.result)
+                if uid == vid:
+                    if consume[vid] or uid not in bwd:
+                        return False
+                    d |= bwd[uid]
+                else:
+                    d.add(uid)
+            if bwd.setdefault(vid, d) != d:
+                return False
+        seen = set()
+        for i in range(self.id_num):
+            key = (frozenset(fwd.get(i, ())), frozenset(bwd.get(i, ())),
+                   consume.get(i, False))
+            if key in seen:
+                return False               # duplicated definition
+            seen.add(key)
         return True

@@ -92,9 +92,10 @@ def profile_backend(profile="tpu_n15", out_path=None, iters=10,
             # scale the reference HEaaN-GPU curve as the placeholder
             lat["earth.bootstrap_single"].append(250000.0 + 8000.0 * nl)
 
+    from ..crypto.params import COMPILER_PROFILES
     out_path = out_path or os.path.join(
         os.path.dirname(__file__), "..", "profiles",
-        f"profiled_TPU_{profile}.json")
+        COMPILER_PROFILES.get(profile, f"profiled_TPU_{profile}") + ".json")
     doc = {
         "runtime": "TPU-HEVM",
         "rescalingFactor": cfg.rf_bits,

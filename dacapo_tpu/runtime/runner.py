@@ -60,7 +60,7 @@ class HEVM:
       ciphertexts via setCtxt, runs, returns handles via getCtxt/getResIdx.
     """
 
-    def __init__(self, profile=None, keyset_dir=None, jit=True, mode="full"):
+    def __init__(self, profile=None, keyset_dir=None, jit="auto", mode="full"):
         assert mode in ("full", "client", "server")
         self.profile = profile or _selected_profile
         self.mode = mode
@@ -94,6 +94,10 @@ class HEVM:
             if self.mode == "server":
                 raise RuntimeError(
                     f"server VM needs a pregenerated keyset at {d} (run hc keygen)")
+            if os.path.isdir(d):
+                # stale keyset: wipe so incremental saves can't mix old keys
+                import shutil
+                shutil.rmtree(d)
             self.scheme.generate_keys()
             keymod.save_keyset(self.scheme.keys, d)
             with open(fp_path, "w") as f:
@@ -116,7 +120,9 @@ class HEVM:
         self.executor.preprocess()
         if self.mode == "full":
             # persist any newly generated galois keys for next runs
-            keymod.save_keyset(self.scheme.keys, self.keyset_dir)
+            # (incremental: existing key files are never re-downloaded/rewritten)
+            keymod.save_keyset(self.scheme.keys, self.keyset_dir,
+                               skip_existing=True)
 
     def loadClient(self, hevm_path):
         """Client loader: header only (arg/res scales+levels), no constants,

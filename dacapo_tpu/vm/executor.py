@@ -88,7 +88,7 @@ class HEVMExecutor:
         self.s.ensure_galois(offs)
 
     # ------------------------------------------------------------ preprocess
-    NTT_BATCH = (16, 4, 1)   # plaintexts per batched-NTT launch (per nl)
+    NTT_BATCH = (64, 16, 4, 1)   # plaintexts per batched-NTT launch (per nl)
 
     def preprocess(self):
         """Pre-encode all plaintexts offline (SEAL_HEVM.cpp:242-267).
@@ -133,23 +133,32 @@ class HEVMExecutor:
             self._pt_dev = {}
             self._pt_lru = __import__("collections").OrderedDict()
 
-        # host-encode all unique payloads (coeff domain), grouped by nl
+        # host-encode all unique payloads (coeff domain), grouped by nl —
+        # ONE vectorized FFT per group (Encoder.encode_batch), then device
+        # NTTs in large prime-major batches: planes ordered [nl, bsz, N] so
+        # the fused kernel re-fetches each prime's twiddle block once per
+        # prime instead of once per plane.
         by_nl = {}
         for cid, (data, nl, scale) in enumerate(cid_info):
             by_nl.setdefault(nl, []).append(cid)
         cid_planes = [None] * len(cid_info)
         for nl, cids in by_nl.items():
-            coeffs = [enc.encode(cid_info[c][0], cid_info[c][2], nl)
-                      for c in cids]
             i = 0
             while i < len(cids):
                 bsz = next(b for b in self.NTT_BATCH if b <= len(cids) - i)
-                flat = np.concatenate(coeffs[i: i + bsz], axis=0)
-                out = self.ev.ntt(jnp.asarray(flat), list(range(nl)) * bsz)
+                chunk = cids[i: i + bsz]
+                blk = enc.encode_batch(
+                    [cid_info[c][0] for c in chunk],
+                    [cid_info[c][2] for c in chunk], nl)  # [bsz, nl, N]
+                flat = np.ascontiguousarray(
+                    blk.transpose(1, 0, 2)).reshape(bsz * nl, -1)
+                rows = [r for r in range(nl) for _ in range(bsz)]
+                out = self.ev.ntt(jnp.asarray(flat), rows)
+                out = out.reshape(nl, bsz, -1).transpose(1, 0, 2)
                 if self._streaming:
                     out = np.asarray(out)
                 for k in range(bsz):
-                    cid_planes[cids[i + k]] = out[k * nl: (k + 1) * nl]
+                    cid_planes[cids[i + k]] = out[k]
                 i += bsz
 
         for cid, planes in enumerate(cid_planes):
@@ -179,8 +188,12 @@ class HEVMExecutor:
         return p[:nl]
 
     # ------------------------------------------------------------ dispatch
-    def _run_trace(self, arg_cts, plains):
-        """Trace the instruction stream. arg_cts: list of (data, nl, scale).
+    def _exec_stream(self, ops, ciphers, meta, getplain, getgk, getperm,
+                     rlk, out_regs):
+        """Interpret an instruction window over JAX values (eager arrays or
+        tracers — the same code serves per-op dispatch, whole-program jit and
+        per-segment jit). Mutates `ciphers`/`meta` dicts; returns the arrays
+        for `out_regs` (pending rotation banks flushed as needed).
 
         Rotations are executed LAZILY: every `rotatec` of the same source
         ciphertext joins a pending bank, flushed as ONE hoisted batched
@@ -188,36 +201,22 @@ class HEVMExecutor:
         is consumed. Ciphertext arrays are immutable (JAX), so deferral is
         always safe regardless of register reuse.
         """
-        import numpy as np
         ev = self.ev
-        ciphers = [None] * self.prog.num_ctxt
-        meta = [None] * self.prog.num_ctxt
-        for i, (data, nl, scale) in enumerate(arg_cts):
-            ciphers[i] = data
-            meta[i] = (nl, scale)
-        rlk = self.s.keys.rlk
 
         # pending rotation banks: bank = {"src", "nl", "entries": [(dst, steps)]}
         banks_by_src = {}      # (id(src_array), nl) -> bank
         bank_of_dst = {}       # dst reg -> bank
 
-        perm_tabs = self._bank_perm_cache
-
         def flush(bank):
             entries = bank["entries"]
             nl = bank["nl"]
             steps = tuple(st for _, st in entries)
-            perms = perm_tabs.get(steps)
-            if perms is None:
-                perms = perm_tabs[steps] = jnp.asarray(
-                    np.stack([self.s.ctx.rot_perm(st) for st in steps]),
-                    dtype=jnp.int32,
-                )
+            perms = getperm(steps)
             # gks restacked per flush: a cached stack would hold an extra COPY
             # of every member key per distinct bank (OOM at 200+ keys); the
             # device-side restack is bandwidth-cheap and lets the GaloisStore
             # LRU own key residency.
-            gks = jnp.stack([self.s.keys.galois[st] for st in steps])
+            gks = jnp.stack([getgk(st) for st in steps])
             out = ev.rotate_batch(bank["src"], nl, perms, gks)
             for k, (dst, _) in enumerate(entries):
                 ciphers[dst] = out[k]
@@ -230,7 +229,7 @@ class HEVMExecutor:
                 flush(bank)
             return ciphers[reg]
 
-        for op in self.prog.ops:
+        for op in ops:
             oc = op.opcode
             if oc in (OP_ALLOC, OP_ENCODE):
                 continue
@@ -284,7 +283,7 @@ class HEVMExecutor:
                 nl, _ = meta[op.lhs]
                 _, psc = self.plain_meta[op.rhs]
                 ciphers[op.dst] = ev.add_pt(
-                    ciphers[op.lhs], self._plain(plains, op.rhs, nl), nl)
+                    ciphers[op.lhs], getplain(op.rhs, nl), nl)
                 meta[op.dst] = (nl, psc)
             elif oc == OP_MULCC:
                 nl, sa = meta[op.lhs]
@@ -295,7 +294,7 @@ class HEVMExecutor:
                 nl, sa = meta[op.lhs]
                 _, psc = self.plain_meta[op.rhs]
                 ciphers[op.dst] = ev.mul_pt(
-                    ciphers[op.lhs], self._plain(plains, op.rhs, nl), nl)
+                    ciphers[op.lhs], getplain(op.rhs, nl), nl)
                 meta[op.dst] = (nl, sa * psc)
             elif oc == OP_BOOTSTRAP:
                 nl, sc = meta[op.lhs]
@@ -306,9 +305,230 @@ class HEVMExecutor:
             if self.debug:
                 self._dbg(op, meta[op.dst])
 
-        outs = [materialize(r) for r in self.prog.res_dst]
+        return [materialize(r) for r in out_regs]
+
+    def _getperm_eager(self, steps):
+        perms = self._bank_perm_cache.get(steps)
+        if perms is None:
+            perms = self._bank_perm_cache[steps] = jnp.asarray(
+                np.stack([self.s.ctx.rot_perm(st) for st in steps]),
+                dtype=jnp.int32,
+            )
+        return perms
+
+    def _run_trace(self, arg_cts, plains):
+        """Full-program interpretation (eager per-op dispatch, or traced as
+        one computation under the whole-program jit)."""
+        ciphers = {}
+        meta = {}
+        for i, (data, nl, scale) in enumerate(arg_cts):
+            ciphers[i] = data
+            meta[i] = (nl, scale)
+        outs = self._exec_stream(
+            self.prog.ops, ciphers, meta,
+            getplain=lambda idx, nl: self._plain(plains, idx, nl),
+            getgk=lambda st: self.s.keys.galois[st],
+            getperm=self._getperm_eager,
+            rlk=self.s.keys.rlk,
+            out_regs=self.prog.res_dst,
+        )
         out_meta = [meta[r] for r in self.prog.res_dst]
         return outs, out_meta
+
+# ------------------------------------------------------------ segment jit
+    # Maximal bootstrap-free instruction windows compile into SINGLE XLA
+    # programs (plaintexts, galois keys, perm tables and the twiddle pack all
+    # passed as arguments, so program size is table-independent). This is the
+    # "inverted VM" at scale: the reference dispatches one seal::Evaluator
+    # call per instruction (SEAL_HEVM.cpp:336-401); here a whole CNN block
+    # becomes one fused device program, killing per-op dispatch latency.
+    SEGMENT_MAX_OPS = int(__import__("os").environ.get(
+        "DACAPO_TPU_SEG_OPS", "96"))   # split long windows (compile-time bound)
+    SEGMENT_MIN_OPS = 4        # below this, eager dispatch is cheaper
+
+    @staticmethod
+    def _op_reads(op, num_ctxt):
+        oc = op.opcode
+        if oc in (OP_ALLOC, OP_ENCODE):
+            return ()
+        r = [op.lhs]
+        if oc in (OP_ADDCC, OP_MULCC) and op.rhs < num_ctxt:
+            r.append(op.rhs)
+        return r
+
+    def _segment_plan(self):
+        """Split the program into windows; compute per-window live-in/out
+        cipher registers and resources (plain regs, rotation offsets)."""
+        if getattr(self, "_seg_plan", None) is not None:
+            return self._seg_plan
+        nct = self.prog.num_ctxt
+        windows = []
+        cur = []
+
+        def close():
+            if cur:
+                windows.append(("seg", list(cur)))
+                cur.clear()
+
+        for op in self.prog.ops:
+            if op.opcode in (OP_ALLOC, OP_ENCODE):
+                continue
+            if op.opcode == OP_BOOTSTRAP:
+                close()
+                windows.append(("boot", [op]))
+            else:
+                cur.append(op)
+                if len(cur) >= self.SEGMENT_MAX_OPS:
+                    close()
+        close()
+
+        infos = []
+        for kind, ops in windows:
+            reads, writes = [], set()
+            plain_regs, rot_steps = [], []
+            has_mulcc = False
+            for op in ops:
+                for r in self._op_reads(op, nct):
+                    if r not in writes and r not in reads:
+                        reads.append(r)
+                if op.opcode in (OP_ADDCP, OP_MULCP):
+                    if op.rhs not in plain_regs:
+                        plain_regs.append(op.rhs)
+                if op.opcode == OP_ROTATE and op.rhs != 0:
+                    if op.rhs not in rot_steps:
+                        rot_steps.append(op.rhs)
+                if op.opcode == OP_MULCC:
+                    has_mulcc = True
+                writes.add(op.dst)
+            infos.append(dict(kind=kind, ops=ops, ins=reads, writes=writes,
+                              plain_regs=plain_regs, rot_steps=rot_steps,
+                              has_mulcc=has_mulcc))
+
+        live = set(self.prog.res_dst)
+        for info in reversed(infos):
+            info["outs"] = sorted(info["writes"] & live)
+            live = (live - info["writes"]) | set(info["ins"])
+        self._seg_plan = infos
+        self._seg_fns = [None] * len(infos)
+        return infos
+
+    def _seg_fn(self, wi, info, in_meta):
+        """Build (cached) the jitted function for window `wi`."""
+        fn = self._seg_fns[wi]
+        if fn is not None:
+            return fn
+        ops = info["ops"]
+        ins = list(info["ins"])
+        outs = list(info["outs"])
+        plain_regs = list(info["plain_regs"])
+        rot_steps = list(info["rot_steps"])
+        perm_ix = {st: i for i, st in enumerate(rot_steps)}
+        meta0 = dict(in_meta)   # captured: metadata is input-independent
+
+        def f(in_cts, plains_l, gks_l, perms_arr, rlk, pk):
+            with self.ev.use_pack(pk):
+                ciphers = dict(zip(ins, in_cts))
+                meta = dict(meta0)
+                plain_by_reg = dict(zip(plain_regs, plains_l))
+                gk_by_step = dict(zip(rot_steps, gks_l))
+
+                def getperm(steps):
+                    idx = np.asarray([perm_ix[st] for st in steps], np.int32)
+                    return perms_arr[idx]
+
+                return self._exec_stream(
+                    ops, ciphers, meta,
+                    getplain=lambda idx, nl: plain_by_reg[idx][:nl],
+                    getgk=lambda st: gk_by_step[st],
+                    getperm=getperm,
+                    rlk=rlk, out_regs=outs,
+                )
+
+        fn = self._seg_fns[wi] = jax.jit(f)
+        return fn
+
+    def _run_segmented(self, arg_cts):
+        """Execute via per-segment jit: device-side fusion of every
+        bootstrap-free window, host round-trips only at (emulated)
+        bootstrap boundaries."""
+        plan = self._segment_plan()
+        ciphers = {}
+        meta = {}
+        for i, (data, nl, scale) in enumerate(arg_cts):
+            ciphers[i] = jnp.asarray(data)
+            meta[i] = (nl, scale)
+        rlk = self.s.keys.rlk
+        pk = self.ev.pack()
+        for wi, info in enumerate(plan):
+            if info["kind"] == "boot":
+                op = info["ops"][0]
+                nl, sc = meta[op.lhs]
+                ciphers[op.dst], meta[op.dst] = self._bootstrap(
+                    ciphers[op.lhs], nl, sc, op.rhs)
+                continue
+            if len(info["ops"]) < self.SEGMENT_MIN_OPS:
+                # eager dispatch for tiny tails (mutates ciphers in place;
+                # out_regs forces pending rotation banks to flush)
+                self._exec_stream(
+                    info["ops"], ciphers, meta,
+                    getplain=lambda idx, nl: self._plain(self.plains, idx, nl),
+                    getgk=lambda st: self.s.keys.galois[st],
+                    getperm=self._getperm_eager,
+                    rlk=rlk, out_regs=info["outs"],
+                )
+                continue
+            in_meta = {r: meta[r] for r in info["ins"]}
+            fn = self._seg_fn(wi, info, in_meta)
+            in_cts = [ciphers[r] for r in info["ins"]]
+            plains_l = [self._plain(self.plains, r, None) for r in info["plain_regs"]]
+            gks_l = [self.s.keys.galois[st] for st in info["rot_steps"]]
+            if info["rot_steps"]:
+                perms_arr = jnp.asarray(np.stack(
+                    [self.s.ctx.rot_perm(st) for st in info["rot_steps"]]),
+                    dtype=jnp.int32)
+            else:
+                perms_arr = jnp.zeros((0, self.s.ctx.n), dtype=jnp.int32)
+            out_cts = fn(in_cts, plains_l, gks_l, perms_arr, rlk, pk)
+            # host-side metadata walk for the window
+            for op in info["ops"]:
+                self._meta_step(op, meta)
+            for r, v in zip(info["outs"], out_cts):
+                ciphers[r] = v
+        outs = [ciphers[r] for r in self.prog.res_dst]
+        out_meta = [meta[r] for r in self.prog.res_dst]
+        return outs, out_meta
+
+    def _meta_step(self, op, meta):
+        """Metadata transition of one op (mirrors _exec_stream bookkeeping)."""
+        oc = op.opcode
+        if oc in (OP_ALLOC, OP_ENCODE):
+            return
+        if oc in (OP_ROTATE, OP_NEGATE):
+            meta[op.dst] = meta[op.lhs]
+        elif oc == OP_RESCALE:
+            nl, sc = meta[op.lhs]
+            for _ in range(self.rr):
+                sc /= self.s.ctx.q_primes[nl - 1]
+                nl -= 1
+            meta[op.dst] = (nl, sc)
+        elif oc == OP_MODSWITCH:
+            nl, sc = meta[op.lhs]
+            meta[op.dst] = (nl - op.rhs * self.rr, sc)
+        elif oc == OP_UPSCALE:
+            nl, sc = meta[op.lhs]
+            meta[op.dst] = (nl, sc * (2.0 ** op.rhs))
+        elif oc == OP_ADDCC:
+            meta[op.dst] = (meta[op.lhs][0], meta[op.rhs][1])
+        elif oc == OP_ADDCP:
+            meta[op.dst] = (meta[op.lhs][0], self.plain_meta[op.rhs][1])
+        elif oc == OP_MULCC:
+            meta[op.dst] = (meta[op.lhs][0], meta[op.lhs][1] * meta[op.rhs][1])
+        elif oc == OP_MULCP:
+            meta[op.dst] = (meta[op.lhs][0],
+                            meta[op.lhs][1] * self.plain_meta[op.rhs][1])
+        elif oc == OP_BOOTSTRAP:
+            nl, sc = meta[op.lhs]
+            meta[op.dst] = ((op.rhs + 1) * self.rr, sc)
 
     _OPNAMES = {
         OP_ENCODE: "encode", OP_ROTATE: "rotatec", OP_NEGATE: "negatec",
@@ -357,21 +577,28 @@ class HEVMExecutor:
         """Server-mode entry: arg_cts are pre-encrypted (data, nl, scale)
         triples (the client encrypted them; this VM may hold no secret key).
         Leaves output CIPHERTEXTS in self._last_outputs; the caller ships
-        them back via getCtxt (reference SEAL_HEVM.cpp:463-473)."""
-        if jit == "auto":
-            jit = len(self.prog.ops) <= self.WHOLE_JIT_MAX_OPS
-        if self._streaming:
-            jit = False   # host-streamed plaintexts can't close over a jit
-        if jit and any(op.opcode == OP_BOOTSTRAP for op in self.prog.ops):
-            from ..crypto.bootstrap import EmulatedBootstrapper, Bootstrapper
-            if isinstance(Bootstrapper(self.s), EmulatedBootstrapper):
-                jit = False  # emulated bootstrap needs a host round-trip
+        them back via getCtxt (reference SEAL_HEVM.cpp:463-473).
+
+        jit: "auto"/"segment" (per-segment jit: every bootstrap-free window
+        is one XLA program — the default), True (force ONE monolithic jit:
+        only for small bootstrap-free non-streaming programs), or False
+        (per-op cached dispatch)."""
+        if jit is True:
+            ok = not self._streaming and not self.debug
+            if ok and any(op.opcode == OP_BOOTSTRAP for op in self.prog.ops):
+                from ..crypto.bootstrap import EmulatedBootstrapper, Bootstrapper
+                # emulated bootstrap needs a host round-trip -> not traceable
+                ok = not isinstance(Bootstrapper(self.s), EmulatedBootstrapper)
+            if not ok:
+                jit = "segment"
         if self.debug:
             jit = False      # tracing prints per-op host metadata
-        if jit:
+        if jit is True:
             fn = self._get_compiled()
             outs = fn([c[0] for c in arg_cts], self.plains, self.ev.pack())
             _, out_meta = self._meta_only(arg_cts)
+        elif jit in ("auto", "segment"):
+            outs, out_meta = self._run_segmented(arg_cts)
         else:
             outs, out_meta = self._run_trace(arg_cts, self.plains)
         self._last_outputs = (outs, out_meta)

@@ -45,7 +45,7 @@ def compile_traced(name, pipeline, waterline, profile,
 
 def run_test(name, pipeline, waterline, profile, inputs, golden,
              postprocess=None, traced_dir="traced", out_dir="optimized",
-             jit=False, warmup=None):
+             jit="auto", warmup=None):
     """Load artifacts, execute encrypted, compare to `golden`, print report.
 
     warmup: extra untimed runs first. On TPU the first execution of each op

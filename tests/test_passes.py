@@ -183,3 +183,35 @@ def test_check_smu_pipeline_flag():
     fn, _ = _trace(body)
     run_scale_pipeline(fn, "pars", 25, check_smu=True)
     fn.verify()
+
+
+def test_smu_strict_verify_rejects_forged_partition():
+    """The weak (scale, level) check accepts a forged over-split partition;
+    the full definition-uniqueness verify (ScaleManagementUnit.cpp:372-507)
+    must reject it: two groups with identical (fwd, bwd, consume) defs."""
+    from dacapo_tpu.passes.scale import set_value_attr
+
+    def body(x):
+        a = x + x
+        b = x + x      # same defs as a -> same SMU in a correct partition
+        return a * b
+
+    fn, _ = _trace(body, clean=False)
+    smu = ScaleManagementUnit(fn)
+    assert smu.verify() and smu.verify_definitions()
+
+    # forge: split {a, b} (one true group) into two ids
+    values = list(fn.args) + [op.result for op in fn.ops]
+    adds = [op.result for op in fn.ops if op.opcode == "add"]
+    assert smu.get_id(adds[0]) == smu.get_id(adds[1])
+    forged = {}
+    nxt = smu.id_num
+    for v in values:
+        forged[v] = smu.get_id(v)
+    forged[adds[1]] = nxt
+    for v, i in forged.items():
+        set_value_attr(fn, v, "smu", i)
+    fn.attrs["smu_attached"] = True
+    forged_smu = ScaleManagementUnit(fn)
+    assert forged_smu.verify()                   # weak check can't see it
+    assert not forged_smu.verify_definitions()   # strict check rejects
