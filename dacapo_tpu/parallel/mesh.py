@@ -111,6 +111,72 @@ class BatchedEvaluator:
                     s.keys.rlk, gk, pk)
 
 
+def dryrun_program(n_devices, profile="test_n10", batch=None, waterline=25):
+    """Compile a REAL traced program (the MLP-style matvec+activation from
+    __graft_entry__.entry) through the PARS pipeline and execute the full
+    HEVM instruction stream BATCHED over an (dp, mp) mesh — the integrated
+    multi-chip path (per-segment jit, vmapped, GSPMD-sharded). Returns the
+    decrypted batch and the per-row RMS against row 0 semantics."""
+    import dacapo_tpu as hc
+    from ..crypto.params import COMPILER_PROFILES
+    from ..crypto.scheme import Scheme
+    from ..ir import trace as trace_mod
+    from ..ir.config import load_profile
+    from ..passes.rewrite import (
+        cse, canonicalize, elide_constants, privatize_constants,
+    )
+    from ..passes.pipeline import compile_function
+    from ..vm.executor import HEVMExecutor
+    from ..crypto.scheme import Ciphertext
+
+    load_profile(COMPILER_PROFILES[profile])
+    s = Scheme(profile)
+    s.generate_keys()
+    n = s.ctx.config.n_slots
+    rng = np.random.default_rng(0)
+    w = rng.normal(0, 0.3, (8, n))
+
+    def model(x):
+        acc = None
+        for i in range(8):
+            t = x.rotate(i) * hc.Plain(w[i])
+            acc = t if acc is None else acc + t
+        h = acc + 0.1
+        h = h * h
+        return h * hc.Plain(w[0])
+
+    def golden(x):
+        acc = sum(np.roll(x, -i) * w[i] for i in range(8))
+        h = acc + 0.1
+        return h * h * w[0]
+
+    trace_mod._module.reset()
+    fn_ir = hc.func("c")(model).eval()
+    cse(fn_ir); canonicalize(fn_ir)
+    payloads = elide_constants(fn_ir)
+    privatize_constants(fn_ir)
+    canonicalize(fn_ir)
+    prog = compile_function(fn_ir, "pars", waterline)
+    ex = HEVMExecutor(s, prog, payloads)
+    ex.preprocess()
+
+    nl = (prog.arg_level[0] + 1) * s.ctx.config.rescale_rows
+    scale = float(2.0 ** prog.arg_scale[0])
+    mesh = make_mesh(n_devices, limbs=nl)
+    b = batch or max(2, 2 * mesh.shape["dp"])
+    xs = rng.uniform(-1, 1, (b, n))
+    cts = np.stack([np.asarray(s.encrypt(x, scale=scale, nl=nl).data)
+                    for x in xs])
+    outs, out_meta = ex.run_encrypted_batch([(cts, nl, scale)], mesh=mesh)
+    res = np.stack([
+        s.decrypt(Ciphertext(outs[0][i], out_meta[0][1])) for i in range(b)
+    ])
+    want = np.stack([golden(x) for x in xs])
+    rms = float(np.sqrt(np.mean((res - want) ** 2)))
+    assert rms < 5e-2, f"mesh-batched program wrong: rms={rms}"
+    return res, rms
+
+
 def dryrun(n_devices, profile="test_n8", batch=None):
     """Create an n-device mesh and run ONE batched encrypted evaluation step
     with real (dp, mp) shardings on tiny shapes. Used by __graft_entry__'s

@@ -139,6 +139,40 @@ class HEVM:
         ct = self.scheme.encrypt(self.inputs[i], scale=scale, nl=nl)
         self._arg_cts[i] = (ct.data, nl, scale)
 
+    def setInputBatch(self, i, data):
+        """Encrypt a BATCH for argument i: data [B, slots]. Batched inputs
+        run via runBatch (multi-chip dp/mp sharding; parallel/mesh.py)."""
+        arr = np.asarray(data, dtype=np.float64)
+        nl = (self.prog.arg_level[i] + 1) * self.scheme.ctx.config.rescale_rows
+        scale = float(2.0 ** self.prog.arg_scale[i])
+        cts = [np.asarray(self.scheme.encrypt(arr[b], scale=scale, nl=nl).data)
+               for b in range(arr.shape[0])]
+        if not hasattr(self, "_arg_cts_batch"):
+            self._arg_cts_batch = {}
+        self._arg_cts_batch[i] = (np.stack(cts), nl, scale)
+
+    def runBatch(self, mesh=None):
+        """Run the loaded program over the encrypted batch; returns decrypted
+        [B, results, slots]. With a mesh, batch rows shard over "dp" and limb
+        planes over "mp" (the multi-chip scaling path, SURVEY §7 step 9)."""
+        assert self.mode in ("full", "server")
+        n_args = self.prog.arg_length
+        arg_cts = [self._arg_cts_batch[i] for i in range(n_args)]
+        outs, out_meta = self.executor.run_encrypted_batch(arg_cts, mesh=mesh)
+        if self.mode != "full":
+            self._out = None
+            return self._out
+        from ..crypto.scheme import Ciphertext
+        bsz = outs[0].shape[0]
+        res = np.stack([
+            np.stack([
+                self.scheme.decrypt(Ciphertext(outs[r][b], out_meta[r][1]))
+                for r in range(len(outs))
+            ]) for b in range(bsz)
+        ])
+        self._out = res
+        return self._out
+
     def getCtxt(self, i):
         """Serialized argument/result ciphertext for transport
         (reference getCtxt 'we need this for communication code',

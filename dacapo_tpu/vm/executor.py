@@ -498,6 +498,109 @@ class HEVMExecutor:
         out_meta = [meta[r] for r in self.prog.res_dst]
         return outs, out_meta
 
+    # --------------------------------------------------------- batch / mesh
+    # Multi-chip execution (SURVEY §7 step 9): a BATCH of ciphertexts runs
+    # through the same compiled program, vmapping each cached segment
+    # function. Over a jax Mesh, batch rows shard across "dp" and RNS limb
+    # planes across "mp" (parallel/mesh.py shardings); keys/plaintexts/pack
+    # are device_put replicated and GSPMD inserts the collectives.
+    def _seg_fn_batch(self, wi, info, in_meta):
+        if getattr(self, "_seg_fns_batch", None) is None:
+            self._seg_fns_batch = [None] * len(self._segment_plan())
+        fn = self._seg_fns_batch[wi]
+        if fn is not None:
+            return fn
+        ops = info["ops"]
+        ins = list(info["ins"])
+        outs = list(info["outs"])
+        plain_regs = list(info["plain_regs"])
+        rot_steps = list(info["rot_steps"])
+        perm_ix = {st: i for i, st in enumerate(rot_steps)}
+        meta0 = dict(in_meta)
+
+        def f(in_cts, plains_l, gks_l, perms_arr, rlk, pk):
+            with self.ev.use_pack(pk):
+                ciphers = dict(zip(ins, in_cts))
+                meta = dict(meta0)
+                plain_by_reg = dict(zip(plain_regs, plains_l))
+                gk_by_step = dict(zip(rot_steps, gks_l))
+
+                def getperm(steps):
+                    idx = np.asarray([perm_ix[st] for st in steps], np.int32)
+                    return perms_arr[idx]
+
+                return self._exec_stream(
+                    ops, ciphers, meta,
+                    getplain=lambda idx, nl: plain_by_reg[idx][:nl],
+                    getgk=lambda st: gk_by_step[st],
+                    getperm=getperm,
+                    rlk=rlk, out_regs=outs,
+                )
+
+        fb = jax.vmap(f, in_axes=(0, None, None, None, None, None))
+        fn = self._seg_fns_batch[wi] = jax.jit(fb)
+        return fn
+
+    def run_encrypted_batch(self, arg_cts, mesh=None):
+        """Batched server entry: arg_cts = [(data [B, 2, nl, N], nl, scale)].
+
+        mesh: optional jax Mesh with axes ("dp", "mp") — batch rows shard
+        over dp, limb planes over mp. Returns (outs [each [B, 2, nl, N]],
+        out_meta) in _last_outputs like run_encrypted."""
+        from ..parallel.mesh import batch_sharding, replicated
+
+        def put_batch(x):
+            x = jnp.asarray(x)
+            if mesh is None:
+                return x
+            return jax.device_put(x, batch_sharding(mesh))
+
+        def put_rep(x):
+            if mesh is None:
+                return jnp.asarray(x) if not hasattr(x, "sharding") else x
+            return jax.device_put(x, replicated(mesh, jnp.ndim(x)))
+
+        plan = self._segment_plan()
+        ciphers = {}
+        meta = {}
+        for i, (data, nl, scale) in enumerate(arg_cts):
+            ciphers[i] = put_batch(data)
+            meta[i] = (nl, scale)
+        rlk = put_rep(self.s.keys.rlk)
+        pk = jax.tree.map(put_rep, self.ev.pack())
+        for wi, info in enumerate(plan):
+            if info["kind"] == "boot":
+                op = info["ops"][0]
+                nl, sc = meta[op.lhs]
+                rows = []
+                for b in range(ciphers[op.lhs].shape[0]):
+                    out, m2 = self._bootstrap(ciphers[op.lhs][b], nl, sc, op.rhs)
+                    rows.append(out)
+                ciphers[op.dst] = put_batch(jnp.stack(rows))
+                meta[op.dst] = m2
+                continue
+            in_meta = {r: meta[r] for r in info["ins"]}
+            fn = self._seg_fn_batch(wi, info, in_meta)
+            in_cts = [ciphers[r] for r in info["ins"]]
+            plains_l = [put_rep(self._plain(self.plains, r, None))
+                        for r in info["plain_regs"]]
+            gks_l = [put_rep(self.s.keys.galois[st]) for st in info["rot_steps"]]
+            if info["rot_steps"]:
+                perms_arr = put_rep(jnp.asarray(np.stack(
+                    [self.s.ctx.rot_perm(st) for st in info["rot_steps"]]),
+                    dtype=jnp.int32))
+            else:
+                perms_arr = put_rep(jnp.zeros((0, self.s.ctx.n), dtype=jnp.int32))
+            out_cts = fn(in_cts, plains_l, gks_l, perms_arr, rlk, pk)
+            for op in info["ops"]:
+                self._meta_step(op, meta)
+            for r, v in zip(info["outs"], out_cts):
+                ciphers[r] = v
+        outs = [ciphers[r] for r in self.prog.res_dst]
+        out_meta = [meta[r] for r in self.prog.res_dst]
+        self._last_outputs = (outs, out_meta)
+        return self._last_outputs
+
     def _meta_step(self, op, meta):
         """Metadata transition of one op (mirrors _exec_stream bookkeeping)."""
         oc = op.opcode

@@ -12,3 +12,13 @@ def test_dryrun_8dev():
     from dacapo_tpu.parallel.mesh import dryrun
     out = dryrun(8, profile="test_n8")
     assert out is not None
+
+
+def test_dryrun_program_8dev():
+    """Integrated multi-chip path: a full compiled HEVM program executed
+    batched over the virtual 8-device (dp, mp) mesh."""
+    from dacapo_tpu.parallel.mesh import dryrun_program
+
+    res, rms = dryrun_program(8, profile="test_n10")
+    assert res.shape[0] >= 2
+    assert rms < 5e-2
