@@ -150,13 +150,20 @@ class HEVMExecutor:
                 blk = enc.encode_batch(
                     [cid_info[c][0] for c in chunk],
                     [cid_info[c][2] for c in chunk], nl)  # [bsz, nl, N]
+                if self._streaming:
+                    # COEFF-domain planes stay in host RAM; the device NTT
+                    # happens lazily at first upload (_plain). Anything else
+                    # would round-trip the whole pre-encoded set device->host
+                    # — the slow direction on tunneled TPU setups.
+                    for k in range(bsz):
+                        cid_planes[cids[i + k]] = blk[k]
+                    i += bsz
+                    continue
                 flat = np.ascontiguousarray(
                     blk.transpose(1, 0, 2)).reshape(bsz * nl, -1)
                 rows = [r for r in range(nl) for _ in range(bsz)]
                 out = self.ev.ntt(jnp.asarray(flat), rows)
                 out = out.reshape(nl, bsz, -1).transpose(1, 0, 2)
-                if self._streaming:
-                    out = np.asarray(out)
                 for k in range(bsz):
                     cid_planes[cids[i + k]] = out[k]
                 i += bsz
@@ -167,13 +174,15 @@ class HEVMExecutor:
 
     def _plain(self, plains, idx, nl):
         """Device planes [:nl] for plaintext register `idx` (LRU-streamed
-        from host RAM when the full pre-encoded set exceeds the budget)."""
+        from host RAM when the full pre-encoded set exceeds the budget;
+        host copies are coeff-domain and NTT'd on upload)."""
         p = plains[idx]
         if self._streaming and isinstance(p, np.ndarray):
             cid = self._pt_cid[idx]
             dev = self._pt_dev.get(cid)
             if dev is None:
-                dev = jnp.asarray(p)
+                pnl = p.shape[0]
+                dev = self.ev.ntt(jnp.asarray(p), list(range(pnl)))
                 self._pt_dev[cid] = dev
                 self._pt_dev_bytes += dev.nbytes
                 self._pt_lru[cid] = dev.nbytes

@@ -1,0 +1,52 @@
+"""Native bootstrap at production parameters (tpu_n16, N=2^16) on the TPU.
+
+Reference bar: HEaaN bootstrap 253.7-474.0 ms per level-16 target on GPU
+(config.json:17-23). Reports keygen/transform-build/first-call (compile) and
+steady-state latency + output precision. Run standalone on the chip.
+"""
+import sys, time
+import numpy as np
+
+t00 = time.time()
+import jax
+from dacapo_tpu.crypto.scheme import Scheme, Ciphertext
+from dacapo_tpu.crypto.bootstrap_native import BootstrapConfig
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+profile = sys.argv[1] if len(sys.argv) > 1 else "tpu_n16"
+target_level = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+t0 = time.time(); s = Scheme(profile)
+log(f"context: {time.time()-t0:.1f}s (N=2^{s.ctx.logn}, "
+    f"{len(s.ctx.q_primes)}+{len(s.ctx.p_primes)} primes, logQP={s.ctx.logqp})")
+t0 = time.time(); s.generate_keys(); log(f"keygen: {time.time()-t0:.1f}s")
+t0 = time.time()
+bs = s.enable_native_bootstrap(BootstrapConfig(K=16, r=3, degree=30, baby=8))
+log(f"bootstrapper init: {time.time()-t0:.1f}s")
+
+n = s.ctx.config.n_slots
+rng = np.random.default_rng(3)
+vals = rng.uniform(-1, 1, n)
+delta = 2.0 ** s.ctx.config.scale_bits
+ct = s.encrypt(vals, scale=delta, nl=2)
+
+t0 = time.time()
+data, (nl2, sc2) = bs.bootstrap(ct.data, ct.nl, ct.scale, target_level)
+jax.block_until_ready(data)
+log(f"bootstrap first call (incl. compiles + key gen): {time.time()-t0:.1f}s")
+
+iters = 5
+t0 = time.time()
+for _ in range(iters):
+    data, (nl2, sc2) = bs.bootstrap(ct.data, ct.nl, ct.scale, target_level)
+jax.block_until_ready(data)
+lat = (time.time() - t0) / iters
+got = s.decrypt(Ciphertext(data, sc2))
+err = got - vals
+rms = float(np.sqrt(np.mean(err * err)))
+log(f"steady-state: {lat*1e3:.1f} ms -> level {nl2-1}, rms {rms:.3e}, "
+    f"max |err| {np.max(np.abs(err)):.3e}")
+print(f'{{"bootstrap_ms": {lat*1e3:.1f}, "target_level": {nl2-1}, '
+      f'"rms": {rms:.3e}, "profile": "{profile}"}}')
