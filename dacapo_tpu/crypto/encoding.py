@@ -64,8 +64,11 @@ class Encoder:
         d = np.fft.fft(spec) / self.n
         return np.real(d * np.conj(self.twist))
 
-    def _rns_residues(self, prod: np.ndarray, nl: int) -> np.ndarray:
-        """float64 [..., N] scaled coefficients -> uint32 [..., nl, N] planes.
+    def _rns_residues(self, prod: np.ndarray, nl: int, primes=None) -> np.ndarray:
+        """float64 [..., N] scaled coefficients -> uint32 [..., R, N] planes
+        over `primes` (default: the first nl Q primes; pass an explicit list
+        for extended-basis encodes, e.g. Q^{(nl)}P plaintexts for the lazy-
+        ModDown fused conv path).
 
         High-scale plans (waterline chains put encode scales at 100+ bits,
         e.g. SEAL Delta=2^60 + upscales; reference encode_internal handles
@@ -75,13 +78,14 @@ class Encoder:
         — every product stays under 2^62 in int64. Precision equals the
         float64 relative precision of the coefficient, same as the input.
         """
+        primes = list(self.ctx.q_primes[:nl]) if primes is None else list(primes)
         lead = prod.shape[:-1]
         amax = np.abs(prod).max() if prod.size else 0.0
-        out = np.empty(lead + (nl, self.n), dtype=np.uint32)
+        out = np.empty(lead + (len(primes), self.n), dtype=np.uint32)
         if amax < 2 ** 62:
             c = np.round(prod).astype(np.int64)
-            for i in range(nl):
-                out[..., i, :] = np.mod(c, self.ctx.q_primes[i])
+            for i, q in enumerate(primes):
+                out[..., i, :] = np.mod(c, q)
             return out
         if not np.isfinite(amax):
             raise OverflowError("encode: scale overflows float64 range")
@@ -92,8 +96,8 @@ class Encoder:
         c_small = np.round(np.where(small, prod, 0.0)).astype(np.int64)
         kmax = int(k.max())
         kc = np.clip(k, 0, None)
-        for i in range(nl):
-            q = int(self.ctx.q_primes[i])
+        for i, q in enumerate(primes):
+            q = int(q)
             powtab = np.empty(kmax + 1, dtype=np.int64)
             powtab[0] = 1
             for j in range(1, kmax + 1):
@@ -107,8 +111,9 @@ class Encoder:
         """-> uint32 [nl, N] coefficient-domain RNS planes (caller NTTs)."""
         return self._rns_residues(self._raw_coeffs(values) * scale, nl)
 
-    def encode_batch(self, values_list, scales, nl: int) -> np.ndarray:
-        """Encode B payloads at once -> uint32 [B, nl, N].
+    def encode_batch(self, values_list, scales, nl: int,
+                     primes=None) -> np.ndarray:
+        """Encode B payloads at once -> uint32 [B, R, N].
 
         One vectorized FFT over the whole batch instead of B separate calls —
         the reference preprocess() encodes constants one at a time
@@ -127,7 +132,7 @@ class Encoder:
         d = np.fft.fft(spec, axis=1) / self.n
         coeffs = np.real(d * np.conj(self.twist))
         prod = coeffs * np.asarray(scales, dtype=np.float64)[:, None]
-        return self._rns_residues(prod, nl)
+        return self._rns_residues(prod, nl, primes=primes)
 
     # ----------------------------------------------------------- decode
     def values_from_coeffs(self, coeffs_float: np.ndarray, scale: float,

@@ -541,6 +541,123 @@ class Evaluator:
 
         return jax.vmap(one)(perms, gks)
 
+    # ------------------------------------------------ fused conv bank (MAC)
+    ROT_MAC_BUCKETS = (16, 8, 4, 2, 1)
+
+    def rot_mac(self, ct, nl, perms, gks, pts, extras=(), fold_rescale_rows=0,
+                extras_post=False, digits=None, plain_vals=(), plain_pts=()):
+        """sum_k pts[k] * rot_{steps_k}(ct) (+ extras): the hoisted conv bank.
+
+        ONE ModUp of ct[1] serves every rotation (Halevi-Shoup), and the
+        ModDown runs ONCE per accumulation group (lazy ModDown): plaintext
+        masks multiply the keyswitch accumulators in the extended Q^{(nl)}P
+        basis, which commutes with ModDown up to the usual rounding noise.
+        Replaces K*(rotate + mulcp) + (K-1) addcc VM instructions — the MPCB
+        conv hot loop (reference MPCB.py MultParConvBN) — with ceil(K/16)+1
+        launches and 1/K of the ModDown work.
+
+        perms: int32 [K, N]; gks: list of K keys; pts: list of K uint32
+        [nl+alpha, N] planes (Q rows then special rows); extras: ciphertext
+        addends [2, nl, N] at the product's (level, scale). Returns
+        [2, nl - fold_rescale_rows, N]. `digits`: precomputed hoisted ModUp
+        of ct[1] (executor-shared across the groups of one conv bank)."""
+        pk = self.pack()
+        k = int(perms.shape[0]) if perms is not None else 0
+        if digits is None and k:
+            digits = self.modup(ct[1], nl)
+        accs = None
+        i = 0
+        while i < k:
+            step = next(b for b in self.ROT_MAC_BUCKETS if b <= k - i)
+            gk_c = jnp.stack([gks[j] for j in range(i, i + step)])
+            pt_c = jnp.stack([pts[j] for j in range(i, i + step)])
+            pm_c = perms[i: i + step]
+            if accs is None:
+                accs = self._jit(
+                    ("rot_mac_chunk0", nl, step),
+                    lambda: lambda d, c0, pm, g, t, p: self._rot_mac_chunk(
+                        d, c0, pm, g, t, nl, p),
+                )(digits, ct[0], pm_c, gk_c, pt_c, pk)
+            else:
+                accs = self._jit(
+                    ("rot_mac_chunk", nl, step),
+                    lambda: lambda d, c0, pm, g, t, a, p: self._rot_mac_chunk(
+                        d, c0, pm, g, t, nl, p, a),
+                )(digits, ct[0], pm_c, gk_c, pt_c, accs, pk)
+            i += step
+        return self._jit(
+            ("rot_mac_fin", nl, len(extras), fold_rescale_rows, extras_post,
+             len(plain_vals), accs is None),
+            lambda: lambda a, v, t, e, p: self._rot_mac_fin(
+                a, v, t, e, nl, fold_rescale_rows, extras_post, p),
+        )(accs, list(plain_vals), list(plain_pts), list(extras), pk)
+
+    def _rot_mac_chunk(self, digits, c0, perms, gks, pts, nl, pk, accs=None):
+        ctx = self.ctx
+        alpha = ctx.config.alpha
+        sp_rows = [ctx.config.num_q + i for i in range(alpha)]
+        qp_rows = list(range(nl)) + sp_rows
+        kqp = self._pkmm(pk, qp_rows)
+        kq = self._pkmm(pk, range(nl))
+
+        def one(perm, gk, pt):
+            d = digits[..., perm]              # σ commutes with ModUp
+            a0, a1 = self._ks_inner(d, nl, gk, pk)
+            c0p = c0[..., perm]
+            return (mul_mod(c0p, pt[:nl], *kq),
+                    mul_mod(a0, pt, *kqp), mul_mod(a1, pt, *kqp))
+
+        tc, t0, t1 = jax.vmap(one)(perms, gks, pts)
+
+        def red(x, q):
+            acc = x[0]
+            for j in range(1, x.shape[0]):
+                acc = add_mod(acc, x[j], q)
+            return acc
+
+        rc, r0, r1 = red(tc, kq[0]), red(t0, kqp[0]), red(t1, kqp[0])
+        if accs is not None:
+            rc = add_mod(rc, accs[0], kq[0])
+            r0 = add_mod(r0, accs[1], kqp[0])
+            r1 = add_mod(r1, accs[2], kqp[0])
+        return rc, r0, r1
+
+    def _rot_mac_fin(self, accs, plain_vals, plain_pts, extras, nl, rs_rows,
+                     extras_post, pk):
+        """Finish an accumulation group: one ModDown of the keyswitch
+        accumulators, plus the keyswitch-free PLAIN taps (mask times an
+        existing ciphertext), then the folded rescale. extras_post: extras
+        join AFTER the rescale (the PARS per-tap-rescale shape, where the
+        tree operands sit at nl - rs_rows)."""
+        q = self._pkq(pk, range(nl))
+        out = None
+        if accs is not None:
+            rc, r0, r1 = accs
+            lc = self.ctx.level(nl)
+            sp_rows = [self.ctx.config.num_q + i
+                       for i in range(self.ctx.config.alpha)]
+            b, a = self._mod_down_pair(r0, r1, nl, lc, sp_rows, pk)
+            out = jnp.stack([add_mod(rc, b, q), a])
+        if plain_vals:
+            qq = self._pkmm(pk, range(nl))
+            vs = jnp.stack(plain_vals)            # [J, 2, nl, N]
+            ps = jnp.stack(plain_pts)             # [J, nl, N]
+            prod = mul_mod(vs, ps[:, None], *qq)
+            s = prod[0]
+            for j in range(1, prod.shape[0]):
+                s = add_mod(s, prod[j], q)
+            out = s if out is None else add_mod(out, s, q)
+        if not extras_post:
+            for e in extras:
+                out = add_mod(out, e, q)
+        if rs_rows:
+            out = self._rescale_k(out, nl, rs_rows, pk)
+        if extras_post:
+            q2 = self._pkq(pk, range(nl - rs_rows))
+            for e in extras:
+                out = add_mod(out, e, q2)
+        return out
+
     def rotate_batch(self, ct, nl, perms, gks):
         """K rotations of ONE ciphertext with a single hoisted ModUp.
 

@@ -21,6 +21,9 @@ from .hevm import (
     HEVMProgram, OP_ENCODE, OP_ROTATE, OP_NEGATE, OP_RESCALE, OP_MODSWITCH,
     OP_UPSCALE, OP_ADDCC, OP_ADDCP, OP_MULCC, OP_MULCP, OP_BOOTSTRAP, OP_ALLOC,
 )
+from .fuse import (
+    ssa_expand, build_fuse_plan, RotMacOp, OP_ROTMAC, cipher_reads,
+)
 
 
 class HEVMExecutor:
@@ -31,9 +34,19 @@ class HEVMExecutor:
         self.rr = scheme.ctx.config.rescale_rows   # RNS rows per hevm level
         self.prog = program
         self.constants = constants
+        # SSA-expand the register stream (fuse.py ssa_expand), then fuse the
+        # conv rot-mac banks unless disabled (DACAPO_TPU_FUSE=0)
+        self.ops, self.num_regs, self.res_dst = ssa_expand(program)
+        import os
+        if os.environ.get("DACAPO_TPU_FUSE", "1") != "0":
+            self.ops, self._fused_pt_regs, self.num_regs = build_fuse_plan(
+                self.ops, self.num_regs, self.res_dst)
+        else:
+            self._fused_pt_regs = set()
         self.plains = [None] * program.num_ptxt      # device planes (or host when streaming)
         self.plain_meta = [None] * program.num_ptxt  # (nl, scale)
         self._pt_cid = [None] * program.num_ptxt     # register -> dedup id
+        self._pt_rows = {}                           # cid -> NTT row list
         self._pt_dev = None                          # cid -> device LRU (streaming)
         self._pt_dev_bytes = 0
         self._pt_budget = None
@@ -101,6 +114,8 @@ class HEVMExecutor:
         import hashlib
 
         enc = self.s.encoder
+        ctx = self.s.ctx
+        alpha = ctx.config.alpha
         uniq = {}          # (rhs, payload digest) -> cid
         cid_info = []      # cid -> (data, nl, scale)
         cid_regs = []      # cid -> [dst regs]
@@ -125,31 +140,46 @@ class HEVMExecutor:
             self._pt_cid[op.dst] = cid
             self.plain_meta[op.dst] = (nl, float(2.0 ** scale))
 
+        # plaintexts feeding fused rot-mac banks need the extended Q^{(nl)}P
+        # basis (lazy-ModDown masks): extra `alpha` special-prime rows
+        cid_qp = [any(r in self._fused_pt_regs for r in regs)
+                  for regs in cid_regs]
+
         n = self.s.ctx.n
-        total_bytes = sum(nl * n * 4 for _, nl, _ in cid_info)
+        total_bytes = sum(
+            (nl + (alpha if qp else 0)) * n * 4
+            for (_, nl, _), qp in zip(cid_info, cid_qp))
         self._streaming = (self._pt_budget is not None
                            and total_bytes > self._pt_budget)
         if self._streaming:
             self._pt_dev = {}
             self._pt_lru = __import__("collections").OrderedDict()
 
-        # host-encode all unique payloads (coeff domain), grouped by nl —
-        # ONE vectorized FFT per group (Encoder.encode_batch), then device
-        # NTTs in large prime-major batches: planes ordered [nl, bsz, N] so
-        # the fused kernel re-fetches each prime's twiddle block once per
-        # prime instead of once per plane.
-        by_nl = {}
+        # host-encode all unique payloads (coeff domain), grouped by
+        # (nl, qp-extended) — ONE vectorized FFT per batch
+        # (Encoder.encode_batch), then device NTTs in large prime-major
+        # batches: planes ordered [rows, bsz, N] so the fused kernel
+        # re-fetches each prime's twiddle block once per prime instead of
+        # once per plane.
+        sp_rows = [ctx.config.num_q + i for i in range(alpha)]
+        by_grp = {}
         for cid, (data, nl, scale) in enumerate(cid_info):
-            by_nl.setdefault(nl, []).append(cid)
+            by_grp.setdefault((nl, cid_qp[cid]), []).append(cid)
         cid_planes = [None] * len(cid_info)
-        for nl, cids in by_nl.items():
+        for (nl, qp), cids in by_grp.items():
+            rows_list = list(range(nl)) + (sp_rows if qp else [])
+            primes = ([ctx.primes[r] for r in rows_list]) if qp else None
+            nrows = len(rows_list)
+            for c in cids:
+                self._pt_rows[c] = rows_list
             i = 0
             while i < len(cids):
                 bsz = next(b for b in self.NTT_BATCH if b <= len(cids) - i)
                 chunk = cids[i: i + bsz]
                 blk = enc.encode_batch(
                     [cid_info[c][0] for c in chunk],
-                    [cid_info[c][2] for c in chunk], nl)  # [bsz, nl, N]
+                    [cid_info[c][2] for c in chunk], nl,
+                    primes=primes)                        # [bsz, nrows, N]
                 if self._streaming:
                     # COEFF-domain planes stay in host RAM; the device NTT
                     # happens lazily at first upload (_plain). Anything else
@@ -160,10 +190,10 @@ class HEVMExecutor:
                     i += bsz
                     continue
                 flat = np.ascontiguousarray(
-                    blk.transpose(1, 0, 2)).reshape(bsz * nl, -1)
-                rows = [r for r in range(nl) for _ in range(bsz)]
+                    blk.transpose(1, 0, 2)).reshape(bsz * nrows, -1)
+                rows = [r for r in rows_list for _ in range(bsz)]
                 out = self.ev.ntt(jnp.asarray(flat), rows)
-                out = out.reshape(nl, bsz, -1).transpose(1, 0, 2)
+                out = out.reshape(nrows, bsz, -1).transpose(1, 0, 2)
                 for k in range(bsz):
                     cid_planes[cids[i + k]] = out[k]
                 i += bsz
@@ -181,8 +211,8 @@ class HEVMExecutor:
             cid = self._pt_cid[idx]
             dev = self._pt_dev.get(cid)
             if dev is None:
-                pnl = p.shape[0]
-                dev = self.ev.ntt(jnp.asarray(p), list(range(pnl)))
+                rows = self._pt_rows.get(cid, list(range(p.shape[0])))
+                dev = self.ev.ntt(jnp.asarray(p), rows)
                 self._pt_dev[cid] = dev
                 self._pt_dev_bytes += dev.nbytes
                 self._pt_lru[cid] = dev.nbytes
@@ -194,7 +224,15 @@ class HEVMExecutor:
             else:
                 self._pt_lru.move_to_end(cid)
             p = dev
-        return p[:nl]
+        return p if nl is None else p[:nl]
+
+    def _plain_rows_qp(self, full, reg, nl):
+        """Q^{(nl)}P rows of a QP-encoded plaintext: first nl Q rows plus the
+        alpha special rows stored after the encode-level Q rows."""
+        nl_enc = self.plain_meta[reg][0]
+        alpha = self.s.ctx.config.alpha
+        idx = np.r_[0:nl, nl_enc:nl_enc + alpha]
+        return full[idx]
 
     # ------------------------------------------------------------ dispatch
     def _exec_stream(self, ops, ciphers, meta, getplain, getgk, getperm,
@@ -238,9 +276,68 @@ class HEVMExecutor:
                 flush(bank)
             return ciphers[reg]
 
-        for op in ops:
+        # free values after their last read in THIS window (SSA stream would
+        # otherwise hold every intermediate ciphertext live); only window-
+        # defined registers are dropped, out_regs always survive
+        last_use = {}
+        defined = set()
+        for i, op in enumerate(ops):
+            for r in cipher_reads(op, self.num_regs):
+                last_use[r] = i
+            if op.opcode not in (OP_ALLOC, OP_ENCODE):
+                defined.add(op.rescale_dst if getattr(op, "fold_rescale", False)
+                            else op.dst)
+        keep = set(out_regs)
+        dig_cache = {}   # (id(src), nl) -> hoisted ModUp digits (current bank)
+
+        def release(op, i):
+            for r in cipher_reads(op, self.num_regs):
+                if (last_use.get(r) == i and r not in keep and r in defined
+                        and r in ciphers and r not in bank_of_dst):
+                    del ciphers[r]
+
+        for opi, op in enumerate(ops):
             oc = op.opcode
             if oc in (OP_ALLOC, OP_ENCODE):
+                continue
+            if oc == OP_ROTMAC:
+                if op.src >= 0:
+                    nl, ssc = meta[op.src]
+                else:
+                    nl, ssc = meta[op.plain_vals[0]]
+                psc = self.plain_meta[(op.pt_regs or op.plain_pts)[0]][1]
+                extras = [materialize(r) for r in op.extra]
+                pvals = [materialize(r) for r in op.plain_vals]
+                ppts = [getplain(r, nl) for r in op.plain_pts]
+                src = digits = perms = None
+                gks, pts = [], []
+                if op.src >= 0:
+                    src = materialize(op.src)
+                    perms = getperm(tuple(op.steps))
+                    gks = [getgk(st) for st in op.steps]
+                    pts = [self._plain_rows_qp(getplain(r, None), r, nl)
+                           for r in op.pt_regs]
+                    dkey = (id(src), nl)
+                    digits = dig_cache.get(dkey)
+                    if digits is None:
+                        digits = ev.modup(src[1], nl)
+                        dig_cache.clear()    # groups of one bank are adjacent
+                        dig_cache[dkey] = digits
+                rs = self.rr if (op.fold_rescale or op.taps_rescaled) else 0
+                out = ev.rot_mac(src, nl, perms, gks, pts, extras,
+                                 fold_rescale_rows=rs,
+                                 extras_post=op.taps_rescaled, digits=digits,
+                                 plain_vals=pvals, plain_pts=ppts)
+                sc = ssc * psc
+                dst = op.rescale_dst if op.fold_rescale else op.dst
+                for _ in range(rs):
+                    sc /= self.s.ctx.q_primes[nl - 1]
+                    nl -= 1
+                ciphers[dst] = out
+                meta[dst] = (nl, sc)
+                if self.debug:
+                    self._dbg_rotmac(op, meta[dst])
+                release(op, opi)
                 continue
             if oc == OP_ROTATE:
                 nl, sc = meta[op.lhs]
@@ -259,10 +356,11 @@ class HEVMExecutor:
                     meta[op.dst] = (nl, sc)
                 if self.debug:
                     self._dbg(op, meta[op.dst])
+                release(op, opi)
                 continue
-            if op.lhs < self.prog.num_ctxt:
+            if op.lhs < self.num_regs:
                 materialize(op.lhs)
-            if oc in (OP_ADDCC, OP_MULCC) and op.rhs < self.prog.num_ctxt:
+            if oc in (OP_ADDCC, OP_MULCC) and op.rhs < self.num_regs:
                 materialize(op.rhs)
             if oc == OP_NEGATE:
                 nl, sc = meta[op.lhs]
@@ -313,6 +411,7 @@ class HEVMExecutor:
                 raise ValueError(f"bad opcode {oc}")
             if self.debug:
                 self._dbg(op, meta[op.dst])
+            release(op, opi)
 
         return [materialize(r) for r in out_regs]
 
@@ -334,14 +433,14 @@ class HEVMExecutor:
             ciphers[i] = data
             meta[i] = (nl, scale)
         outs = self._exec_stream(
-            self.prog.ops, ciphers, meta,
+            self.ops, ciphers, meta,
             getplain=lambda idx, nl: self._plain(plains, idx, nl),
             getgk=lambda st: self.s.keys.galois[st],
             getperm=self._getperm_eager,
             rlk=self.s.keys.rlk,
-            out_regs=self.prog.res_dst,
+            out_regs=self.res_dst,
         )
-        out_meta = [meta[r] for r in self.prog.res_dst]
+        out_meta = [meta[r] for r in self.res_dst]
         return outs, out_meta
 
 # ------------------------------------------------------------ segment jit
@@ -355,22 +454,13 @@ class HEVMExecutor:
         "DACAPO_TPU_SEG_OPS", "96"))   # split long windows (compile-time bound)
     SEGMENT_MIN_OPS = 4        # below this, eager dispatch is cheaper
 
-    @staticmethod
-    def _op_reads(op, num_ctxt):
-        oc = op.opcode
-        if oc in (OP_ALLOC, OP_ENCODE):
-            return ()
-        r = [op.lhs]
-        if oc in (OP_ADDCC, OP_MULCC) and op.rhs < num_ctxt:
-            r.append(op.rhs)
-        return r
-
     def _segment_plan(self):
-        """Split the program into windows; compute per-window live-in/out
-        cipher registers and resources (plain regs, rotation offsets)."""
+        """Split the (SSA, fused) program into windows; compute per-window
+        live-in/out cipher registers and resources (plain regs, rotation
+        offsets). A fused rot-mac bank counts as one op but carries its own
+        rotation-offset/plaintext lists."""
         if getattr(self, "_seg_plan", None) is not None:
             return self._seg_plan
-        nct = self.prog.num_ctxt
         windows = []
         cur = []
 
@@ -379,7 +469,7 @@ class HEVMExecutor:
                 windows.append(("seg", list(cur)))
                 cur.clear()
 
-        for op in self.prog.ops:
+        for op in self.ops:
             if op.opcode in (OP_ALLOC, OP_ENCODE):
                 continue
             if op.opcode == OP_BOOTSTRAP:
@@ -397,9 +487,18 @@ class HEVMExecutor:
             plain_regs, rot_steps = [], []
             has_mulcc = False
             for op in ops:
-                for r in self._op_reads(op, nct):
+                for r in cipher_reads(op, self.num_regs):
                     if r not in writes and r not in reads:
                         reads.append(r)
+                if op.opcode == OP_ROTMAC:
+                    for r in list(op.pt_regs) + list(op.plain_pts):
+                        if r not in plain_regs:
+                            plain_regs.append(r)
+                    for st in op.steps:
+                        if st not in rot_steps:
+                            rot_steps.append(st)
+                    writes.add(op.rescale_dst if op.fold_rescale else op.dst)
+                    continue
                 if op.opcode in (OP_ADDCP, OP_MULCP):
                     if op.rhs not in plain_regs:
                         plain_regs.append(op.rhs)
@@ -413,7 +512,7 @@ class HEVMExecutor:
                               plain_regs=plain_regs, rot_steps=rot_steps,
                               has_mulcc=has_mulcc))
 
-        live = set(self.prog.res_dst)
+        live = set(self.res_dst)
         for info in reversed(infos):
             info["outs"] = sorted(info["writes"] & live)
             live = (live - info["writes"]) | set(info["ins"])
@@ -503,8 +602,8 @@ class HEVMExecutor:
                 self._meta_step(op, meta)
             for r, v in zip(info["outs"], out_cts):
                 ciphers[r] = v
-        outs = [ciphers[r] for r in self.prog.res_dst]
-        out_meta = [meta[r] for r in self.prog.res_dst]
+        outs = [ciphers[r] for r in self.res_dst]
+        out_meta = [meta[r] for r in self.res_dst]
         return outs, out_meta
 
     # --------------------------------------------------------- batch / mesh
@@ -605,8 +704,8 @@ class HEVMExecutor:
                 self._meta_step(op, meta)
             for r, v in zip(info["outs"], out_cts):
                 ciphers[r] = v
-        outs = [ciphers[r] for r in self.prog.res_dst]
-        out_meta = [meta[r] for r in self.prog.res_dst]
+        outs = [ciphers[r] for r in self.res_dst]
+        out_meta = [meta[r] for r in self.res_dst]
         self._last_outputs = (outs, out_meta)
         return self._last_outputs
 
@@ -614,6 +713,19 @@ class HEVMExecutor:
         """Metadata transition of one op (mirrors _exec_stream bookkeeping)."""
         oc = op.opcode
         if oc in (OP_ALLOC, OP_ENCODE):
+            return
+        if oc == OP_ROTMAC:
+            if op.src >= 0:
+                nl, ssc = meta[op.src]
+            else:
+                nl, ssc = meta[op.plain_vals[0]]
+            sc = ssc * self.plain_meta[(op.pt_regs or op.plain_pts)[0]][1]
+            dst = op.rescale_dst if op.fold_rescale else op.dst
+            if op.fold_rescale or op.taps_rescaled:
+                for _ in range(self.rr):
+                    sc /= self.s.ctx.q_primes[nl - 1]
+                    nl -= 1
+            meta[dst] = (nl, sc)
             return
         if oc in (OP_ROTATE, OP_NEGATE):
             meta[op.dst] = meta[op.lhs]
@@ -648,6 +760,13 @@ class HEVMExecutor:
         OP_UPSCALE: "upscalec", OP_ADDCC: "addcc", OP_ADDCP: "addcp",
         OP_MULCC: "mulcc", OP_MULCP: "mulcp", OP_BOOTSTRAP: "bootstrapc",
     }
+
+    def _dbg_rotmac(self, op, m):
+        import math, sys
+        nl, sc = m
+        print(f"[hevm] rot_mac    dst={op.rescale_dst if op.fold_rescale else op.dst:<5} "
+              f"src={op.src:<5} taps={len(op.steps):<4} level={nl - 1:<3} "
+              f"log2(scale)={math.log2(sc):.3f}", file=sys.stderr)
 
     def _dbg(self, op, m):
         import math, sys
@@ -721,41 +840,13 @@ class HEVMExecutor:
         return self._trace_meta(arg_cts)
 
     def _trace_meta(self, arg_cts):
-        # metadata-only interpretation (cheap, host)
-        meta = [None] * self.prog.num_ctxt
+        # metadata-only interpretation (cheap, host; mirrors _exec_stream)
+        meta = {}
         for i, (_, nl, scale) in enumerate(arg_cts):
             meta[i] = (nl, scale)
-        for op in self.prog.ops:
-            oc = op.opcode
-            if oc in (OP_ALLOC, OP_ENCODE):
-                continue
-            if oc in (OP_ROTATE, OP_NEGATE):
-                meta[op.dst] = meta[op.lhs]
-            elif oc == OP_RESCALE:
-                nl, sc = meta[op.lhs]
-                for _ in range(self.rr):
-                    sc /= self.s.ctx.q_primes[nl - 1]
-                    nl -= 1
-                meta[op.dst] = (nl, sc)
-            elif oc == OP_MODSWITCH:
-                nl, sc = meta[op.lhs]
-                meta[op.dst] = (nl - op.rhs * self.rr, sc)
-            elif oc == OP_UPSCALE:
-                nl, sc = meta[op.lhs]
-                meta[op.dst] = (nl, sc * (2.0 ** op.rhs))
-            elif oc == OP_ADDCC:
-                meta[op.dst] = (meta[op.lhs][0], meta[op.rhs][1])
-            elif oc == OP_ADDCP:
-                meta[op.dst] = (meta[op.lhs][0], self.plain_meta[op.rhs][1])
-            elif oc == OP_MULCC:
-                meta[op.dst] = (meta[op.lhs][0], meta[op.lhs][1] * meta[op.rhs][1])
-            elif oc == OP_MULCP:
-                meta[op.dst] = (meta[op.lhs][0], meta[op.lhs][1] * self.plain_meta[op.rhs][1])
-            elif oc == OP_BOOTSTRAP:
-                nl, sc = meta[op.lhs]
-                meta[op.dst] = ((op.rhs + 1) * self.rr, sc)
-        outs = None
-        return outs, [meta[r] for r in self.prog.res_dst]
+        for op in self.ops:
+            self._meta_step(op, meta)
+        return None, [meta[r] for r in self.res_dst]
 
     def _get_compiled(self):
         if self._compiled is None:
