@@ -261,6 +261,20 @@ class Evaluator:
                 x, cc, ss, self._pkq(p, range(nl))),
         )(ct, c, cs, self.pack())
 
+    def upscale_rescale(self, ct, nl, up_bits: int, k: int):
+        """Fused exact multiply by 2^up_bits followed by a k-row rescale —
+        the PARS scale-alignment idiom, one launch instead of two."""
+        from .modmath import host_shoup
+        vals = [pow(2, up_bits, q) for q in self.ctx.q_primes[:nl]]
+        sh = [host_shoup(v, q) for v, q in zip(vals, self.ctx.q_primes[:nl])]
+        c = _c(np.array(vals, np.uint32))[:, None]
+        cs = _c(np.array(sh, np.uint32))[:, None]
+        return self._jit(
+            ("uprescale", nl, k),
+            lambda: lambda x, cc, ss, p: self._rescale_k(
+                mul_mod_shoup(x, cc, ss, self._pkq(p, range(nl))), nl, k, p),
+        )(ct, c, cs, self.pack())
+
     def mod_drop(self, ct, k: int):
         """modswitch by k levels = drop the top k RNS rows (SEAL semantics)."""
         return ct[:, : ct.shape[1] - k, :]

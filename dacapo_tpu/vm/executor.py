@@ -22,7 +22,8 @@ from .hevm import (
     OP_UPSCALE, OP_ADDCC, OP_ADDCP, OP_MULCC, OP_MULCP, OP_BOOTSTRAP, OP_ALLOC,
 )
 from .fuse import (
-    ssa_expand, build_fuse_plan, RotMacOp, OP_ROTMAC, cipher_reads,
+    ssa_expand, build_fuse_plan, RotMacOp, OP_ROTMAC, OP_UPRESCALE,
+    cipher_reads,
 )
 
 
@@ -381,6 +382,15 @@ class HEVMExecutor:
                 nl, sc = meta[op.lhs]
                 ciphers[op.dst] = ev.upscale(ciphers[op.lhs], nl, op.rhs)
                 meta[op.dst] = (nl, sc * (2.0 ** op.rhs))
+            elif oc == OP_UPRESCALE:
+                nl, sc = meta[op.lhs]
+                ciphers[op.dst] = ev.upscale_rescale(
+                    ciphers[op.lhs], nl, op.up_bits, self.rr)
+                sc *= 2.0 ** op.up_bits
+                for _ in range(self.rr):
+                    sc /= self.s.ctx.q_primes[nl - 1]
+                    nl -= 1
+                meta[op.dst] = (nl, sc)
             elif oc == OP_ADDCC:
                 nl, _ = meta[op.lhs]
                 _, sc = meta[op.rhs]  # SEAL forces lhs.scale = rhs.scale
@@ -713,6 +723,14 @@ class HEVMExecutor:
         """Metadata transition of one op (mirrors _exec_stream bookkeeping)."""
         oc = op.opcode
         if oc in (OP_ALLOC, OP_ENCODE):
+            return
+        if oc == OP_UPRESCALE:
+            nl, sc = meta[op.lhs]
+            sc *= 2.0 ** op.up_bits
+            for _ in range(self.rr):
+                sc /= self.s.ctx.q_primes[nl - 1]
+                nl -= 1
+            meta[op.dst] = (nl, sc)
             return
         if oc == OP_ROTMAC:
             if op.src >= 0:

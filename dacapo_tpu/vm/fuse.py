@@ -28,10 +28,28 @@ from dataclasses import dataclass, field
 
 from .hevm import (
     OP_ROTATE, OP_MULCP, OP_MULCC, OP_ADDCC, OP_ENCODE, OP_ALLOC, OP_RESCALE,
+    OP_UPSCALE,
 )
 
 MIN_TAPS = 2        # a 2-tap fused group still replaces ~6 launches with 2
 OP_ROTMAC = -2
+OP_UPRESCALE = -3
+
+
+@dataclass
+class UpRescaleOp:
+    """upscalec whose sole consumer is a rescalec, merged into one launch
+    (the PARS scale-alignment idiom: upscale to the common scale, rescale
+    down a level — hundreds of occurrences per CNN plan)."""
+    lhs: int
+    dst: int
+    up_bits: int
+
+    opcode = OP_UPRESCALE
+
+    @property
+    def rhs(self):            # debug-print parity with HEVMOp
+        return self.up_bits
 
 
 @dataclass
@@ -74,6 +92,8 @@ def cipher_reads(op, num_regs):
         if op.src >= 0:
             r.insert(0, op.src)
         return r
+    if oc == OP_UPRESCALE:
+        return (op.lhs,)
     r = [op.lhs]
     if oc in (OP_ADDCC, OP_MULCC) and op.rhs < num_regs:
         r.append(op.rhs)
@@ -235,7 +255,38 @@ def build_fuse_plan(ops, num_regs, res_dst):
             new_ops.extend(fused_at[idx])
         elif idx not in consumed:
             new_ops.append(op)
+    new_ops = merge_upscale_rescale(new_ops, num_regs, res_set)
     return new_ops, fused_pt_regs, num_regs
+
+
+def merge_upscale_rescale(ops, num_regs, res_set):
+    """Peephole: upscalec single-used by a rescalec -> one UpRescaleOp."""
+    users = {}
+    for idx, op in enumerate(ops):
+        for r in cipher_reads(op, num_regs):
+            users.setdefault(r, []).append(idx)
+    drop = set()
+    replace = {}
+    for idx, op in enumerate(ops):
+        if op.opcode != OP_UPSCALE:
+            continue
+        u = users.get(op.dst, ())
+        if len(u) != 1 or op.dst in res_set:
+            continue
+        uop = ops[u[0]]
+        if uop.opcode != OP_RESCALE:
+            continue
+        replace[idx] = UpRescaleOp(lhs=op.lhs, dst=uop.dst, up_bits=op.rhs)
+        drop.add(u[0])
+    if not replace:
+        return ops
+    out = []
+    for idx, op in enumerate(ops):
+        if idx in replace:
+            out.append(replace[idx])
+        elif idx not in drop:
+            out.append(op)
+    return out
 
 
 def ssa_expand(prog):

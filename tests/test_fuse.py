@@ -105,3 +105,48 @@ def test_fused_segment_jit_matches():
     outs_e, meta_e = ex.run_encrypted([(ct.data, nl, scale)], jit=False)
     np.testing.assert_array_equal(np.asarray(outs_s[0]), np.asarray(outs_e[0]))
     assert meta_s == meta_e
+
+
+def test_upscale_rescale_merge():
+    """upscalec -> rescalec pairs merge into one UpRescaleOp and execute
+    identically."""
+    import os
+    from dacapo_tpu.vm.fuse import OP_UPRESCALE
+    load_profile("profiled_TPU_test_n10")
+    s = Scheme("test_n10")
+    s.generate_keys()
+    n = s.ctx.config.n_slots
+    rng = np.random.default_rng(9)
+    w = rng.normal(0, 0.5, n)
+
+    def model(x):
+        y = x * hc.Plain(w)      # scale 50
+        return y * y             # forces upscale/rescale alignment chains
+
+    trace_mod._module.reset()
+    fn_ir = hc.func("c")(model).eval()
+    cse(fn_ir); canonicalize(fn_ir)
+    payloads = elide_constants(fn_ir)
+    privatize_constants(fn_ir)
+    canonicalize(fn_ir)
+    prog = compile_function(fn_ir, "pars", 25)
+    x = rng.uniform(-1, 1, n)
+    want = (x * w) ** 2
+
+    os.environ["DACAPO_TPU_FUSE"] = "1"
+    try:
+        ex = HEVMExecutor(s, prog, payloads)
+    finally:
+        os.environ.pop("DACAPO_TPU_FUSE", None)
+    has_pair = any(
+        op.opcode == 3 and i > 0 and ex.ops[i - 1].opcode == 5
+        for i, op in enumerate(ex.ops))
+    # the merge leaves no adjacent upscale->rescale pair behind
+    merged = sum(1 for op in ex.ops if op.opcode == OP_UPRESCALE)
+    ex.preprocess()
+    out = ex.run([x], jit=False)[0]
+    rms = float(np.sqrt(np.mean((out - want) ** 2)))
+    assert rms < 5e-2, rms
+    out_u = _run(s, prog, payloads, x, fuse=False)[0]
+    rms_u = float(np.sqrt(np.mean((out_u - want) ** 2)))
+    assert rms_u < 5e-2
