@@ -38,6 +38,12 @@ def _c(x):
     return jnp.asarray(x, dtype=jnp.uint32)
 
 
+def _mac_buckets():
+    import os
+    mb = int(os.environ.get("DACAPO_TPU_MAC_BUCKET", "16"))
+    return tuple(b for b in (16, 8, 4, 2, 1) if b <= mb)
+
+
 # pack entries that are per-prime scalars ([num_all]); the rest are planes
 _PACK_SCALARS = ("q", "qinv_neg", "rconst", "rconst_shoup", "ninv", "ninv_shoup")
 
@@ -556,7 +562,9 @@ class Evaluator:
         return jax.vmap(one)(perms, gks)
 
     # ------------------------------------------------ fused conv bank (MAC)
-    ROT_MAC_BUCKETS = (16, 8, 4, 2, 1)
+    # chunk width trades launches against XLA program size (remote-compile
+    # time grows superlinearly); override with DACAPO_TPU_MAC_BUCKET
+    ROT_MAC_BUCKETS = _mac_buckets()
 
     def rot_mac(self, ct, nl, perms, gks, pts, extras=(), fold_rescale_rows=0,
                 extras_post=False, digits=None, plain_vals=(), plain_pts=()):

@@ -61,8 +61,12 @@ class HEVMExecutor:
     # Device-memory plan: one chip's HBM must hold rotation keys, pre-encoded
     # plaintexts, the ciphertext register file, and XLA workspace. Fractions
     # of the reported HBM limit; host RAM backs the overflow (LRU streamed).
-    KEY_BUDGET_FRAC = 0.35
-    PTXT_BUDGET_FRAC = 0.25
+    # Keys get the lion's share: key ACCESS is cyclic (every rotation offset
+    # once per run), so an undersized key LRU degenerates to 100% misses at
+    # ~30ms H2D each — resident keys are worth far more than resident
+    # plaintexts (each plaintext is used once per run anyway).
+    KEY_BUDGET_FRAC = 0.55
+    PTXT_BUDGET_FRAC = 0.12
 
     def _hbm_limit(self):
         import jax
@@ -203,6 +207,16 @@ class HEVMExecutor:
             for dst in cid_regs[cid]:
                 self.plains[dst] = planes
 
+    def _pt_insert(self, cid, dev):
+        self._pt_dev[cid] = dev
+        self._pt_dev_bytes += dev.nbytes
+        self._pt_lru[cid] = dev.nbytes
+        while (self._pt_dev_bytes > self._pt_budget
+               and len(self._pt_lru) > 1):
+            old, nb = self._pt_lru.popitem(last=False)
+            del self._pt_dev[old]
+            self._pt_dev_bytes -= nb
+
     def _plain(self, plains, idx, nl):
         """Device planes [:nl] for plaintext register `idx` (LRU-streamed
         from host RAM when the full pre-encoded set exceeds the budget;
@@ -214,18 +228,41 @@ class HEVMExecutor:
             if dev is None:
                 rows = self._pt_rows.get(cid, list(range(p.shape[0])))
                 dev = self.ev.ntt(jnp.asarray(p), rows)
-                self._pt_dev[cid] = dev
-                self._pt_dev_bytes += dev.nbytes
-                self._pt_lru[cid] = dev.nbytes
-                while (self._pt_dev_bytes > self._pt_budget
-                       and len(self._pt_lru) > 1):
-                    old, nb = self._pt_lru.popitem(last=False)
-                    del self._pt_dev[old]
-                    self._pt_dev_bytes -= nb
+                self._pt_insert(cid, dev)
             else:
                 self._pt_lru.move_to_end(cid)
             p = dev
         return p if nl is None else p[:nl]
+
+    PT_BATCH = (32, 8, 2, 1)
+
+    def _plain_prefetch(self, regs):
+        """Batch-upload (and NTT) the missing streamed plaintexts for a
+        fused bank: ONE H2D transfer + ONE batched NTT launch per chunk
+        instead of per-mask round trips (eager dispatch paths only)."""
+        if not self._streaming:
+            return
+        missing = {}
+        for r in regs:
+            cid = self._pt_cid[r]
+            p = self.plains[r]
+            if (cid is None or cid in self._pt_dev
+                    or not isinstance(p, np.ndarray)):
+                continue
+            rows = tuple(self._pt_rows.get(cid, range(p.shape[0])))
+            missing.setdefault(rows, {})[cid] = p
+        for rows, by_cid in missing.items():
+            cids = list(by_cid)
+            nr = len(rows)
+            i = 0
+            while i < len(cids):
+                bsz = next(b for b in self.PT_BATCH if b <= len(cids) - i)
+                chunk = cids[i: i + bsz]
+                flat = np.concatenate([by_cid[c] for c in chunk], axis=0)
+                out = self.ev.ntt(jnp.asarray(flat), list(rows) * bsz)
+                for k, cid in enumerate(chunk):
+                    self._pt_insert(cid, out[k * nr: (k + 1) * nr])
+                i += bsz
 
     def _plain_rows_qp(self, full, reg, nl):
         """Q^{(nl)}P rows of a QP-encoded plaintext: first nl Q rows plus the
@@ -237,7 +274,7 @@ class HEVMExecutor:
 
     # ------------------------------------------------------------ dispatch
     def _exec_stream(self, ops, ciphers, meta, getplain, getgk, getperm,
-                     rlk, out_regs):
+                     rlk, out_regs, prefetch=None):
         """Interpret an instruction window over JAX values (eager arrays or
         tracers — the same code serves per-op dispatch, whole-program jit and
         per-segment jit). Mutates `ciphers`/`meta` dicts; returns the arrays
@@ -307,6 +344,8 @@ class HEVMExecutor:
                 else:
                     nl, ssc = meta[op.plain_vals[0]]
                 psc = self.plain_meta[(op.pt_regs or op.plain_pts)[0]][1]
+                if prefetch is not None:
+                    prefetch(list(op.pt_regs) + list(op.plain_pts))
                 extras = [materialize(r) for r in op.extra]
                 pvals = [materialize(r) for r in op.plain_vals]
                 ppts = [getplain(r, nl) for r in op.plain_pts]
@@ -322,8 +361,14 @@ class HEVMExecutor:
                     digits = dig_cache.get(dkey)
                     if digits is None:
                         digits = ev.modup(src[1], nl)
-                        dig_cache.clear()    # groups of one bank are adjacent
+                        # small LRU: multi-source conv banks interleave their
+                        # groups, so one entry would thrash (measured: 1961
+                        # ModUps instead of ~13 on ResNet)
+                        if len(dig_cache) >= 8:
+                            dig_cache.pop(next(iter(dig_cache)))
                         dig_cache[dkey] = digits
+                    else:
+                        dig_cache[dkey] = dig_cache.pop(dkey)  # LRU touch
                 rs = self.rr if (op.fold_rescale or op.taps_rescaled) else 0
                 out = ev.rot_mac(src, nl, perms, gks, pts, extras,
                                  fold_rescale_rows=rs,
@@ -449,6 +494,7 @@ class HEVMExecutor:
             getperm=self._getperm_eager,
             rlk=self.s.keys.rlk,
             out_regs=self.res_dst,
+            prefetch=self._plain_prefetch,
         )
         out_meta = [meta[r] for r in self.res_dst]
         return outs, out_meta
@@ -593,11 +639,13 @@ class HEVMExecutor:
                     getgk=lambda st: self.s.keys.galois[st],
                     getperm=self._getperm_eager,
                     rlk=rlk, out_regs=info["outs"],
+                    prefetch=self._plain_prefetch,
                 )
                 continue
             in_meta = {r: meta[r] for r in info["ins"]}
             fn = self._seg_fn(wi, info, in_meta)
             in_cts = [ciphers[r] for r in info["ins"]]
+            self._plain_prefetch(info["plain_regs"])
             plains_l = [self._plain(self.plains, r, None) for r in info["plain_regs"]]
             gks_l = [self.s.keys.galois[st] for st in info["rot_steps"]]
             if info["rot_steps"]:
