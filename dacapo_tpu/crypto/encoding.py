@@ -134,6 +134,44 @@ class Encoder:
         prod = coeffs * np.asarray(scales, dtype=np.float64)[:, None]
         return self._rns_residues(prod, nl, primes=primes)
 
+    # ------------------------------------------------- compact (device) form
+    def encode_compact_batch(self, values_list, scales) -> np.ndarray:
+        """Encode B payloads into the COMPACT integer form -> uint32 [B,2,N].
+
+        Each coefficient c is stored as sign*|mi|*2^k with |mi| <= 2^53
+        (f64-exact for every c): row0 = |mi| & 0xffffffff, row1 = (|mi|>>32)
+        | sign<<23 | k<<24. The per-prime RNS residues are reconstructed ON
+        DEVICE (Evaluator.decode_plain) — so a CNN's multi-GB pre-encoded
+        plaintext set becomes a ~2-row-per-mask device-resident pool instead
+        of host->device streaming traffic every run."""
+        b = len(values_list)
+        full = np.empty((b, self.n_slots), dtype=np.complex128)
+        ar = np.arange(self.n_slots)
+        for i, v in enumerate(values_list):
+            v = np.asarray(v).ravel()
+            full[i] = v[ar % len(v)]
+        spec = np.zeros((b, self.n), dtype=np.complex128)
+        spec[:, self.slot_bins] = full
+        spec[:, self.conj_bins] += np.conj(full)
+        d = np.fft.fft(spec, axis=1) / self.n
+        coeffs = np.real(d * np.conj(self.twist))
+        prod = coeffs * np.asarray(scales, dtype=np.float64)[:, None]
+        if not np.isfinite(prod).all():
+            raise OverflowError("encode: scale overflows float64 range")
+        mant, ex = np.frexp(prod)
+        mi = np.round(mant * 2.0 ** 53).astype(np.int64)
+        k = ex - 53
+        small = k < 0                 # |c| < 2^53: store exactly, k = 0
+        mi = np.where(small, np.round(prod).astype(np.int64), mi)
+        k = np.clip(k, 0, None).astype(np.int64)
+        assert int(k.max(initial=0)) < 256, "encode scale beyond 2^308?"
+        sign = (mi < 0).astype(np.uint32)
+        a = np.abs(mi).astype(np.uint64)
+        lo = (a & 0xFFFFFFFF).astype(np.uint32)
+        hi = ((a >> 32).astype(np.uint32)
+              | (sign << 23) | (k.astype(np.uint32) << 24))
+        return np.stack([lo, hi], axis=1)     # [B, 2, N]
+
     # ----------------------------------------------------------- decode
     def values_from_coeffs(self, coeffs_float: np.ndarray, scale: float,
                            complex_out: bool = False) -> np.ndarray:

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from .modmath import (
-    add_mod, sub_mod, neg_mod, mul_mod, mul_mod_shoup,
+    add_mod, sub_mod, neg_mod, mul_mod, mul_mod_shoup, mulhi_u32, mullo_u32,
 )
 from .ntt import ntt_fwd, ntt_inv
 
@@ -45,7 +45,8 @@ def _mac_buckets():
 
 
 # pack entries that are per-prime scalars ([num_all]); the rest are planes
-_PACK_SCALARS = ("q", "qinv_neg", "rconst", "rconst_shoup", "ninv", "ninv_shoup")
+_PACK_SCALARS = ("q", "qinv_neg", "rconst", "rconst_shoup", "ninv",
+                 "ninv_shoup", "m32")
 
 
 class Evaluator:
@@ -114,6 +115,7 @@ class Evaluator:
             host = self.ctx.host_tables
             with jax.ensure_compile_time_eval():
                 d = {k: jnp.asarray(host[k]) for k in _PACK_SCALARS}
+                d["pow2"] = jnp.asarray(host["pow2"])   # [P, 256]
                 if self._ntt_backend == "pallas":
                     pn = self._get_pallas_ntt()
                     d["ptw"], d["ptws"] = pn.device_planes(False)
@@ -266,6 +268,53 @@ class Evaluator:
             lambda: lambda x, cc, ss, p: mul_mod_shoup(
                 x, cc, ss, self._pkq(p, range(nl))),
         )(ct, c, cs, self.pack())
+
+    # ------------------------------------------- compact plaintext decode
+    def decode_plain(self, lohi, rows):
+        """Compact plaintexts -> NTT-domain RNS planes, fully ON DEVICE.
+
+        lohi: uint32 [B, 2, N] (Encoder.encode_compact_batch layout: abs
+        mantissa lo / packed hi|sign|exp). rows: target prime rows. Returns
+        uint32 [B, len(rows), N]. Replaces host-side residue computation +
+        per-use H2D streaming of multi-GB pre-encoded plaintext pools."""
+        rows = tuple(rows)
+        b = int(lohi.shape[0])
+        return self._jit(
+            ("dec_pt", rows, b),
+            lambda: lambda x, p: self._decode_plain(x, rows, p),
+        )(lohi, self.pack())
+
+    def _decode_plain(self, lohi, rows, pk):
+        idx = np.asarray(rows, dtype=np.int32)
+        b = lohi.shape[0]
+        nrows = len(rows)
+        lo = lohi[:, None, 0, :]                    # [B, 1, N]
+        hi = lohi[:, None, 1, :]
+        hi_abs = hi & jnp.uint32(0x7FFFFF)          # < 2^23 < q
+        sign = (hi >> 23) & jnp.uint32(1)
+        k = (hi >> 24).astype(jnp.int32)
+        q = pk["q"][idx][None, :, None]             # [1, R, 1]
+        m32 = pk["m32"][idx][None, :, None]
+        qq = tuple(pk[n][idx][None, :, None] for n in
+                   ("q", "qinv_neg", "rconst", "rconst_shoup"))
+        # lo mod q via Barrett (m32 = floor(2^32/q); quotient off by <= 1,
+        # then one more conditional subtract for safety)
+        t = mulhi_u32(lo, m32)
+        r = lo - mullo_u32(t, q)
+        r = jnp.where(r >= q, r - q, r)
+        r = jnp.where(r >= q, r - q, r)
+        # + hi_abs * (2^32 mod q)
+        val = add_mod(r, mul_mod(hi_abs, qq[2] * jnp.uint32(1), *qq), q)
+        val = jnp.where(sign.astype(jnp.bool_), neg_mod(val, q), val)
+        # * 2^k
+        p2 = pk["pow2"][idx][None, :, :]            # [1, R, 256]
+        p2k = jnp.take_along_axis(
+            jnp.broadcast_to(p2, (b, nrows, 256)),
+            jnp.broadcast_to(k, (b, nrows, lohi.shape[-1])) % 256, axis=2)
+        val = mul_mod(val, p2k, *qq)
+        flat = val.reshape(b * nrows, lohi.shape[-1])
+        out = self._ntt(flat, list(rows) * b, pk)
+        return out.reshape(b, nrows, lohi.shape[-1])
 
     def upscale_rescale(self, ct, nl, up_bits: int, k: int):
         """Fused exact multiply by 2^up_bits followed by a k-row rescale —

@@ -239,6 +239,14 @@ class CKKSContext:
             ninv[r] = nv
             ninvs[r] = host_shoup(nv, q)
         qs = np.array(self.primes, dtype=np.uint32)
+        # compact-plaintext decode constants: Barrett m32 = floor(2^32/q)
+        # and the 2^k mod q table (Encoder.encode_compact_batch exponents)
+        pow2 = np.zeros((P, 256), dtype=np.uint32)
+        for r, q in enumerate(self.primes):
+            v = 1
+            for k in range(256):
+                pow2[r, k] = v
+                v = (v * 2) % q
         self.host_tables = dict(
             q=qs,
             qinv_neg=np.array([host_qinv_neg(q) for q in self.primes], dtype=np.uint32),
@@ -246,6 +254,8 @@ class CKKSContext:
             rconst_shoup=np.array(
                 [host_shoup((1 << 32) % q, q) for q in self.primes], dtype=np.uint32
             ),
+            m32=np.array([(1 << 32) // q for q in self.primes], dtype=np.uint32),
+            pow2=pow2,
             tw=tw, tw_shoup=tws, itw=itw, itw_shoup=itws,
             ninv=ninv, ninv_shoup=ninvs,
         )

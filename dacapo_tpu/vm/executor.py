@@ -160,13 +160,35 @@ class HEVMExecutor:
             self._pt_dev = {}
             self._pt_lru = __import__("collections").OrderedDict()
 
-        # host-encode all unique payloads (coeff domain), grouped by
-        # (nl, qp-extended) — ONE vectorized FFT per batch
-        # (Encoder.encode_batch), then device NTTs in large prime-major
-        # batches: planes ordered [rows, bsz, N] so the fused kernel
-        # re-fetches each prime's twiddle block once per prime instead of
-        # once per plane.
         sp_rows = [ctx.config.num_q + i for i in range(alpha)]
+        if self._streaming:
+            # COMPACT DEVICE POOL: each unique payload becomes a 2-row
+            # integer record (Encoder.encode_compact_batch) resident on
+            # device (~8 bytes/coefficient for the WHOLE program); per-use
+            # RNS residues + NTT are computed on device (decode_plain).
+            # This removes the multi-GB host->device plaintext streaming
+            # that dominated big-CNN runs on tunneled TPU setups.
+            pool = np.empty((len(cid_info), 2, n), dtype=np.uint32)
+            i = 0
+            while i < len(cid_info):
+                bsz = min(64, len(cid_info) - i)
+                pool[i: i + bsz] = enc.encode_compact_batch(
+                    [cid_info[c][0] for c in range(i, i + bsz)],
+                    [cid_info[c][2] for c in range(i, i + bsz)])
+                i += bsz
+            self._pt_pool = jnp.asarray(pool)
+            for cid in range(len(cid_info)):
+                nl = cid_info[cid][1]
+                self._pt_rows[cid] = list(range(nl)) + (
+                    sp_rows if cid_qp[cid] else [])
+                for dst in cid_regs[cid]:
+                    self.plains[dst] = cid      # marker: decode from pool
+            return
+
+        # non-streaming: host-encode all unique payloads (coeff domain),
+        # grouped by (nl, qp-extended) — ONE vectorized FFT per batch
+        # (Encoder.encode_batch), then device NTTs in large prime-major
+        # batches; everything stays device-resident in NTT form.
         by_grp = {}
         for cid, (data, nl, scale) in enumerate(cid_info):
             by_grp.setdefault((nl, cid_qp[cid]), []).append(cid)
@@ -185,15 +207,6 @@ class HEVMExecutor:
                     [cid_info[c][0] for c in chunk],
                     [cid_info[c][2] for c in chunk], nl,
                     primes=primes)                        # [bsz, nrows, N]
-                if self._streaming:
-                    # COEFF-domain planes stay in host RAM; the device NTT
-                    # happens lazily at first upload (_plain). Anything else
-                    # would round-trip the whole pre-encoded set device->host
-                    # — the slow direction on tunneled TPU setups.
-                    for k in range(bsz):
-                        cid_planes[cids[i + k]] = blk[k]
-                    i += bsz
-                    continue
                 flat = np.ascontiguousarray(
                     blk.transpose(1, 0, 2)).reshape(bsz * nrows, -1)
                 rows = [r for r in rows_list for _ in range(bsz)]
@@ -218,16 +231,18 @@ class HEVMExecutor:
             self._pt_dev_bytes -= nb
 
     def _plain(self, plains, idx, nl):
-        """Device planes [:nl] for plaintext register `idx` (LRU-streamed
-        from host RAM when the full pre-encoded set exceeds the budget;
-        host copies are coeff-domain and NTT'd on upload)."""
+        """Device NTT planes [:nl] for plaintext register `idx`. In
+        streaming mode the register holds a pool id; the RNS planes are
+        decoded ON DEVICE from the compact pool on first use (LRU-cached
+        under the plaintext budget)."""
         p = plains[idx]
-        if self._streaming and isinstance(p, np.ndarray):
-            cid = self._pt_cid[idx]
+        if self._streaming and isinstance(p, (int, np.integer)):
+            cid = int(p)
             dev = self._pt_dev.get(cid)
             if dev is None:
-                rows = self._pt_rows.get(cid, list(range(p.shape[0])))
-                dev = self.ev.ntt(jnp.asarray(p), rows)
+                rows = self._pt_rows[cid]
+                dev = self.ev.decode_plain(
+                    self._pt_pool[cid: cid + 1], rows)[0]
                 self._pt_insert(cid, dev)
             else:
                 self._pt_lru.move_to_end(cid)
@@ -237,31 +252,30 @@ class HEVMExecutor:
     PT_BATCH = (32, 8, 2, 1)
 
     def _plain_prefetch(self, regs):
-        """Batch-upload (and NTT) the missing streamed plaintexts for a
-        fused bank: ONE H2D transfer + ONE batched NTT launch per chunk
-        instead of per-mask round trips (eager dispatch paths only)."""
+        """Batch-decode the missing plaintexts of a fused bank from the
+        device pool: one launch per chunk instead of per-mask dispatches
+        (eager paths only)."""
         if not self._streaming:
             return
         missing = {}
         for r in regs:
             cid = self._pt_cid[r]
-            p = self.plains[r]
             if (cid is None or cid in self._pt_dev
-                    or not isinstance(p, np.ndarray)):
+                    or not isinstance(self.plains[r], (int, np.integer))):
                 continue
-            rows = tuple(self._pt_rows.get(cid, range(p.shape[0])))
-            missing.setdefault(rows, {})[cid] = p
-        for rows, by_cid in missing.items():
-            cids = list(by_cid)
+            rows = tuple(self._pt_rows[cid])
+            missing.setdefault(rows, set()).add(cid)
+        for rows, cidset in missing.items():
+            cids = sorted(cidset)
             nr = len(rows)
             i = 0
             while i < len(cids):
                 bsz = next(b for b in self.PT_BATCH if b <= len(cids) - i)
                 chunk = cids[i: i + bsz]
-                flat = np.concatenate([by_cid[c] for c in chunk], axis=0)
-                out = self.ev.ntt(jnp.asarray(flat), list(rows) * bsz)
+                block = self._pt_pool[np.asarray(chunk)]
+                out = self.ev.decode_plain(block, rows)
                 for k, cid in enumerate(chunk):
-                    self._pt_insert(cid, out[k * nr: (k + 1) * nr])
+                    self._pt_insert(cid, out[k])
                 i += bsz
 
     def _plain_rows_qp(self, full, reg, nl):

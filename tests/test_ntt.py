@@ -66,3 +66,26 @@ def test_eval_exps_are_odd_and_distinct(ctx):
     e = ctx.eval_exps
     assert np.all(e % 2 == 1)
     assert len(set(e.tolist())) == ctx.n
+
+
+def test_decode_plain_matches_host_encode():
+    """Compact device decode == host residue encode, incl. the >2^62 path."""
+    import jax.numpy as jnp
+    from dacapo_tpu.crypto.params import CKKSContext, PROFILES
+    from dacapo_tpu.crypto.encoding import Encoder
+    from dacapo_tpu.crypto.ops import Evaluator
+
+    ctx = CKKSContext(PROFILES["test_n11c"])
+    enc = Encoder(ctx)
+    ev = Evaluator(ctx)
+    rng = np.random.default_rng(4)
+    vals = [rng.uniform(-1, 1, ctx.config.n_slots), rng.uniform(-3, 3, 32)]
+    scales = [2.0 ** 40, 2.0 ** 95]          # small + bigscale paths
+    rows = list(range(6)) + [ctx.config.num_q, ctx.config.num_q + 1]
+    compact = enc.encode_compact_batch(vals, scales)
+    got = np.asarray(ev.decode_plain(jnp.asarray(compact), rows))
+    for i, (v, s) in enumerate(zip(vals, scales)):
+        res = enc._rns_residues(enc._raw_coeffs(v) * s, 0,
+                                primes=[ctx.primes[r] for r in rows])
+        want = np.asarray(ev.ntt(jnp.asarray(res), rows))
+        assert np.array_equal(got[i], want), f"mismatch item {i}"
