@@ -162,7 +162,7 @@ class Encoder:
         mi = np.round(mant * 2.0 ** 53).astype(np.int64)
         k = ex - 53
         small = k < 0                 # |c| < 2^53: store exactly, k = 0
-        mi = np.where(small, np.round(prod).astype(np.int64), mi)
+        mi = np.where(small, np.round(np.where(small, prod, 0.0)).astype(np.int64), mi)
         k = np.clip(k, 0, None).astype(np.int64)
         assert int(k.max(initial=0)) < 256, "encode scale beyond 2^308?"
         sign = (mi < 0).astype(np.uint32)
