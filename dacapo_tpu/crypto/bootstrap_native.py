@@ -50,7 +50,16 @@ class BootstrapConfig:
 # --------------------------------------------------------------------------
 
 class CtVal:
-    """(data [2, nl, N], scale) with exact host-side scale tracking."""
+    """(data [2, nl, N], scale) with exact host-side scale tracking.
+
+    All multiplicative ops rescale by the bootstrapper's COMPOSITE span
+    (`bs.rs` top rows at once, product ~2^60 for 30-bit limb pairs). This is
+    what makes the pipeline precise on uint32 limbs: every plaintext constant
+    is encoded at pt_scale = target * q_span / scale ~ 2^60, so even tiny
+    constants (the 2^-13 EvalMod normalizer, sub-unit DFT diagonals) keep
+    ~47+ bits of mantissa — the single-row variant caps pt_scale at ~2^30
+    and collapses to 10-17 bit constants, which measured 1e-2..1 relative
+    error after the q0'/delta' amplification."""
 
     __slots__ = ("bs", "data", "scale")
 
@@ -81,27 +90,35 @@ class CtVal:
 
     def mul_ct(self, o):
         assert self.nl == o.nl
-        assert self.nl >= 2, "bootstrap pipeline exhausted the modulus chain"
         s = self.bs.s
         return CtVal(self.bs, s.ev.mul_ct(self.data, o.data, self.nl, s.keys.rlk),
                      self.scale * o.scale).rescale()
 
     def square(self):
-        assert self.nl >= 2, "bootstrap pipeline exhausted the modulus chain"
         s = self.bs.s
         return CtVal(self.bs, s.ev.square_ct(self.data, self.nl, s.keys.rlk),
                      self.scale * self.scale).rescale()
 
+    def q_span(self, nl=None):
+        """Product of the top `bs.rs` primes at this level."""
+        nl = nl or self.nl
+        qs = self.bs.s.ctx.q_primes
+        out = 1.0
+        for i in range(self.bs.rs):
+            out *= qs[nl - 1 - i]
+        return out
+
     def rescale(self):
-        q_top = self.bs.s.ctx.q_primes[self.nl - 1]
-        return CtVal(self.bs, self.bs.ev.rescale(self.data, self.nl),
-                     self.scale / q_top)
+        rs = self.bs.rs
+        assert self.nl > rs, "bootstrap pipeline exhausted the modulus chain"
+        span = self.q_span()
+        return CtVal(self.bs, self.bs.ev.rescale_k(self.data, self.nl, rs),
+                     self.scale / span)
 
     def mul_const(self, c, target_scale):
         """Multiply by scalar c (complex ok), rescaling onto target_scale
-        exactly: the constant is encoded at scale target*q_top/self.scale."""
-        q_top = self.bs.s.ctx.q_primes[self.nl - 1]
-        pt_scale = target_scale * q_top / self.scale
+        exactly: the constant is encoded at scale target*q_span/self.scale."""
+        pt_scale = target_scale * self.q_span() / self.scale
         pt = self.bs.encode_const(c, pt_scale, self.nl)
         out = self.bs.ev.mul_pt(self.data, pt, self.nl)
         return CtVal(self.bs, out, self.scale * pt_scale).rescale()
@@ -186,8 +203,7 @@ class SlotLinearTransform:
         bs = self.bs
         s_obj = bs.s
         nl = ct.nl
-        q_top = s_obj.ctx.q_primes[nl - 1]
-        pt_scale = target_scale * q_top / ct.scale
+        pt_scale = target_scale * ct.q_span() / ct.scale
 
         baby_steps = sorted({off % self.b for offs in self.groups.values()
                              for off in offs} | {0})
@@ -220,6 +236,17 @@ class NativeBootstrapper:
         self.cfg = cfg or BootstrapConfig()
         ctx = scheme.ctx
         self.q0 = ctx.q_primes[0]
+        # composite rescale span inside the pipeline (see CtVal docstring):
+        # pairs of 30-bit primes emulate one ~60-bit bootstrap prime
+        self.rs = 2
+        # internal working scale = nominal pair size (~2^60): the square/
+        # rescale fixed point (scale^2/q_span ~ scale), exactly like HEaaN's
+        # Delta ~ q_i regime. GAP_BITS applies only to the INPUT upscale
+        # (delta' = q0' * 2^-GAP): the EvalMod output value carries the
+        # delta'/q0' factor, so final ints are ~2^51 * m and never overflow
+        # the bottom pair. Scale drift from non-nominal primes is re-anchored
+        # at every mul_const (exact landing), so square chains stay short.
+        self.delta_bs = float(2.0 ** (self.rs * ctx.config.prime_bits))
         # Slot transforms are the FFT-factored twisted DFT (dft_factor.py):
         # ceil(log2 s / radix) sparse-diagonal levels per direction instead
         # of one dense s x s matrix (which is O(s^2) memory — infeasible at
@@ -264,7 +291,9 @@ class NativeBootstrapper:
 
     # --------------------------------------------------------- mod raise
     def mod_raise(self, data, nl):
-        """ct mod q0 -> ct mod Q_full (centered lift), NTT domain in/out."""
+        """ct mod q0 -> ct mod Q_full (centered lift), NTT domain in/out.
+        Single-prime base path (nl == 1); pair-base raises go through
+        mod_raise_pair."""
         ctx = self.s.ctx
         num_q = ctx.config.num_q
         if nl > 1:
@@ -279,10 +308,67 @@ class NativeBootstrapper:
         v = c[:, None, :]                                 # [2, 1, N]
         lifted = jnp.where(v > half, v + corr[None, :, None], v)
         flat = lifted.reshape(2 * num_q, ctx.n)
-        rows = list(range(num_q)) * 2
         rows = [r for r in range(num_q)] + [r for r in range(num_q)]
         out = self.ev.ntt(flat, rows).reshape(2, num_q, ctx.n)
         return out
+
+    def mod_raise_pair(self, data, nl):
+        """ct mod q0*q1 -> ct mod Q_full (centered CRT lift from the bottom
+        prime PAIR), NTT domain in/out.
+
+        The 60-bit composite base is what makes native bootstrapping precise
+        on 30-bit limbs: with q0' = q0*q1 ~ 2^60 and the input pre-upscaled
+        to delta' ~ 2^51 the EvalMod linearization error is (2*pi*m*2^-9)^2/6
+        ~ 1e-5 relative — the HEaaN base-modulus geometry (their logq0=60 >
+        logDelta=51), unreachable from any single uint32 prime.
+
+        Exact uint32 arithmetic throughout: v = v0 + q0*t with
+        t = (v1 - v0)/q0 mod q1, then per-row v mod q_i =
+        v0 + (q0 mod q_i)*t (mod q_i), centered by subtracting q0*q1 when
+        (t, v0) > (t_half, v0_half) lexicographically."""
+        from .modmath import sub_mod, add_mod, mul_mod_shoup, host_shoup
+        ctx = self.s.ctx
+        num_q = ctx.config.num_q
+        q0, q1 = ctx.q_primes[0], ctx.q_primes[1]
+        assert nl >= 2, "pair-base mod_raise needs >= 2 RNS rows"
+        c = self.ev.intt(data[:, :2, :].reshape(4, ctx.n), [0, 1, 0, 1])
+        c = c.reshape(2, 2, ctx.n)
+        v0 = c[:, 0, :]                                   # [2, N] mod q0
+        v1 = c[:, 1, :]                                   # [2, N] mod q1
+
+        # t = (v1 - v0) * q0^{-1} mod q1
+        uq1 = jnp.uint32(q1)
+        v0q1 = jnp.where(v0 >= uq1, v0 - uq1, v0)
+        inv_q0 = pow(q0, -1, q1)
+        t = mul_mod_shoup(sub_mod(v1, v0q1, uq1),
+                          jnp.uint32(inv_q0),
+                          jnp.uint32(host_shoup(inv_q0, q1)), uq1)
+
+        # centering flag: v > (q0*q1 - 1) // 2
+        half = (q0 * q1 - 1) // 2
+        t_half, v0_half = half // q0, half % q0
+        neg = (t > jnp.uint32(t_half)) | (
+            (t == jnp.uint32(t_half)) & (v0 > jnp.uint32(v0_half)))
+
+        qs = [ctx.q_primes[i] for i in range(num_q)]
+        arr = lambda f: jnp.asarray(
+            np.array([f(q) for q in qs], np.uint32))[None, :, None]
+        q_r = arr(lambda q: q)
+        q0m = arr(lambda q: q0 % q)
+        q0m_sh = arr(lambda q: host_shoup(q0 % q, q))
+        q01m = arr(lambda q: (q0 * q1) % q)
+
+        tb = t[:, None, :]                                # [2, 1, N]
+        v0b = v0[:, None, :]
+        # reduce t, v0 into [0, q_i) (balanced ~30-bit primes: one cond-sub)
+        t_r = jnp.where(tb >= q_r, tb - q_r, tb)
+        v0_r = jnp.where(v0b >= q_r, v0b - q_r, v0b)
+        r = add_mod(v0_r, mul_mod_shoup(t_r, q0m, q0m_sh, q_r), q_r)
+        r = jnp.where(neg[:, None, :], sub_mod(r, q01m, q_r), r)
+
+        flat = r.reshape(2 * num_q, ctx.n)
+        rows = [i for i in range(num_q)] + [i for i in range(num_q)]
+        return self.ev.ntt(flat, rows).reshape(2, num_q, ctx.n)
 
     # ------------------------------------------------------ chebyshev eval
     def _cheb_coeffs(self):
@@ -329,7 +415,7 @@ class NativeBootstrapper:
         # double as normalization): leaves output at nl_leaf - 1 on a common
         # scale; giants T_{2^k b} sit at nl_leaf - k + ... >= any quotient
         # that multiplies them, so each PS recursion costs exactly 1 level.
-        delta = max(t1.scale, float(2.0 ** self.s.ctx.config.prime_bits))
+        delta = max(t1.scale, self.delta_bs)
         nl_leaf = min(T[k].nl for k in T if k <= b)
 
         def leaf(c):
@@ -361,9 +447,9 @@ class NativeBootstrapper:
             qv = eval_poly(q)           # rank(d) - 1
             rv = eval_poly(r)           # rank(deg r) <= rank(d) - 1
             prod = qv.mul_ct(T[gg].drop_to(qv.nl))     # rank(d)
-            # rv sits >= 1 level above prod (rank(deg r) <= rank(d) - 1);
+            # rv sits >= 1 rank above prod (rank(deg r) <= rank(d) - 1);
             # one const-mul lands it exactly on (prod.nl, prod.scale)
-            rv = rv.drop_to(prod.nl + 1).mul_const(1.0, prod.scale)
+            rv = rv.drop_to(prod.nl + self.rs).mul_const(1.0, prod.scale)
             return prod.add(rv)
 
         return eval_poly(np.asarray(coeffs, dtype=np.complex128))
@@ -384,25 +470,47 @@ class NativeBootstrapper:
             ]
         return self._cts, self._stc
 
+    # EvalMod input geometry: pre-upscale the input so delta'/q0' ~ 2^-GAP_BITS
+    # (HEaaN: logq0 60, logDelta 51). Larger gap -> worse sin linearization;
+    # smaller gap -> EvalMod's absolute error is amplified by q0'/delta'.
+    GAP_BITS = 9
+
     def bootstrap(self, data, nl, scale, target_level):
-        """data: uint32 [2, nl, N]; returns (data', (nl', scale'))."""
+        """data: uint32 [2, nl, N]; returns (data', (nl', scale')).
+
+        `target_level` is in hevm levels (composite profiles expand it by
+        rescale_rows). The input is dropped to the bottom prime PAIR
+        (q0' = q0*q1 ~ 2^60) and pre-upscaled to delta' ~ q0' * 2^-GAP_BITS
+        before the centered CRT raise — exact int ops, no level cost."""
         cfg = self.cfg
         s = self.s
         ctx = s.ctx
-        q0 = float(self.q0)
         delta = float(scale)
 
-        raised = self.mod_raise(data, nl)
+        if nl < 2:
+            raise ValueError(
+                "native bootstrap needs the bottom prime pair (nl >= 2); "
+                "the planner must not drop bootstrap operands below level "
+                f"{2 // ctx.config.rescale_rows}")
+        base = data[:, :2, :]
+        q0p = float(ctx.q_primes[0]) * float(ctx.q_primes[1])
+        up_bits = max(0, int(round(np.log2(q0p) - self.GAP_BITS
+                                   - np.log2(delta))))
+        if up_bits:
+            base = self.ev.upscale(base, 2, up_bits)
+            delta = delta * (2.0 ** up_bits)
+        q0 = q0p
+
+        raised = self.mod_raise_pair(base, 2)
         ct = CtVal(self, raised, delta)
 
         cts_levels, stc_levels = self._transforms()
 
-        # Internal working scale ~= prime size: ct*ct squares then satisfy
-        # scale^2/q_top ~= scale, so EvalMod's double-angle chain is
-        # scale-stable even when the program scale delta << 2^prime_bits
-        # (the drift that HEaaN's fixed-scale-per-level bookkeeping absorbs,
-        # HEAAN_HEVM.cpp:313-343).
-        delta_bs = float(2.0 ** ctx.config.prime_bits)
+        # Internal working scale ~= q_span * 2^-GAP_BITS (~2^51): ct*ct
+        # squares then satisfy scale^2/q_span ~= scale, so EvalMod's
+        # double-angle chain is scale-stable, and every plaintext constant
+        # encodes at pt_scale ~ 2^60 (full precision on uint32 limbs).
+        delta_bs = self.delta_bs
 
         # CoeffToSlot: u = A^{-1} z (coeffs in brv slot order); one level
         # per merged butterfly group
@@ -450,7 +558,7 @@ class NativeBootstrapper:
         # underlying ints = out.scale * value = out.scale*(delta/q0)*z  ->
         # declared scale = out.scale * delta / q0 makes decrypt return z.
         final_scale = out.scale * delta / q0
-        nl2 = target_level + 1
+        nl2 = (target_level + 1) * ctx.config.rescale_rows
         assert out.nl >= nl2, (
             f"bootstrap consumed too many levels: have {out.nl}, need {nl2}")
         res = out.data[:, :nl2, :]

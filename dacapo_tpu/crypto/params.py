@@ -99,9 +99,17 @@ PROFILES = {
     "tpu_n15_sec": CKKSConfig(n=1 << 15, num_q=20, alpha=7, prime_bits=30,
                               scale_bits=40, rescale_rows=2),
     # bootstrap-capable profile (reference HEaaN FVa-class; config.json:2-6).
-    # logQP ~ 1210 <= 1770 at N=2^16: 128-bit secure.
-    "tpu_n16": CKKSConfig(n=1 << 16, num_q=30, alpha=10, prime_bits=30,
+    # logQP = (42+14)*30 = 1680 <= 1770 at N=2^16: 128-bit secure. The chain
+    # budgets the native bootstrapper's pair-composite pipeline (~32 rows:
+    # CtS/StC radix-8 + Chebyshev EvalMod) plus program levels above it.
+    "tpu_n16": CKKSConfig(n=1 << 16, num_q=42, alpha=14, prime_bits=30,
                           scale_bits=28, secret_h=192),
+    # PARITY-class bootstrap-capable composite profile (insecure dev, like
+    # tpu_n15): SEAL-regime rf=60/waterline-40 programs with enough chain
+    # for native (non-oracle) bootstrapping. 24 levels; the pipeline's ~16
+    # leave targets up to ~7.
+    "tpu_n15b": CKKSConfig(n=1 << 15, num_q=48, alpha=12, prime_bits=30,
+                           scale_bits=40, rescale_rows=2, secret_h=192),
     # PARITY profile (insecure: logQP ~ 604 > 440): N=2^14-class traces
     # (reference hc-test SEAL runs trace at nt=2^14)
     "tpu_n14": CKKSConfig(n=1 << 14, num_q=16, alpha=4, prime_bits=30,
@@ -110,8 +118,9 @@ PROFILES = {
     "test_n8": CKKSConfig(n=1 << 8, num_q=6, alpha=3, prime_bits=30, scale_bits=25),
     "test_n10": CKKSConfig(n=1 << 10, num_q=8, alpha=4, prime_bits=30, scale_bits=25),
     "test_n11": CKKSConfig(n=1 << 11, num_q=8, alpha=4, prime_bits=30, scale_bits=25),
-    # insecure tiny bootstrap-capable profile (deep chain + sparse secret)
-    "test_boot": CKKSConfig(n=1 << 11, num_q=19, alpha=7, prime_bits=30,
+    # insecure tiny bootstrap-capable profile (deep chain + sparse secret);
+    # chain sized for the pair-composite native pipeline (~32 rows deep)
+    "test_boot": CKKSConfig(n=1 << 11, num_q=36, alpha=9, prime_bits=30,
                             scale_bits=25, secret_h=64),
     # insecure tiny composite-rescale profile (unit tests for rescale_rows=2)
     "test_n11c": CKKSConfig(n=1 << 11, num_q=16, alpha=4, prime_bits=30,
@@ -123,6 +132,7 @@ COMPILER_PROFILES = {
     "tpu_n15": "profiled_TPU_n15",
     "tpu_n15_sec": "profiled_TPU_n15_sec",
     "tpu_n16": "profiled_TPU_n16",
+    "tpu_n15b": "profiled_TPU_n15b",
     "tpu_n14": "profiled_TPU_n14",
     "test_n10": "profiled_TPU_test_n10",
     "test_n11": "profiled_TPU_test_n11",

@@ -82,9 +82,12 @@ def _inner_pipeline(fn, waterline, output_val, cfg, rng):
 def _explore_chains(fn, n_chains, num_iter, waterline, output_val,
                     beta, gamma, rng, cfg):
     """Run `n_chains` independent Metropolis explorer chains for `num_iter`
-    iterations; returns (best_plan, best_cost). Infeasible plans (type
-    inference fails — the reference uses pass failure as the feasibility
-    probe) are skipped; any other exception is a real bug and propagates."""
+    iterations; returns (best_plan, best_cost). The reference treats ANY
+    pass failure on a mutated plan as the infeasibility probe
+    (ELASMExplorer.cpp applyPlan -> failed() check), so every exception from
+    the inner pipeline skips that sample rather than aborting the search;
+    unexpected kinds are counted and reported once per chain block so real
+    bugs stay visible without killing the worker pool."""
     from .scale import TypeInferenceError
 
     def cost_func(lat, err):
@@ -94,6 +97,7 @@ def _explore_chains(fn, n_chains, num_iter, waterline, output_val,
     costs = [float("inf")] * n_chains
     opt_cost = float("inf")
     opt_plan = ([], [], [])
+    unexpected = {}   # exception name -> count (non-TypeInference skips)
 
     for _ in range(num_iter):
         for i in range(n_chains):
@@ -105,6 +109,10 @@ def _explore_chains(fn, n_chains, num_iter, waterline, output_val,
                 lat, err = _inner_pipeline(dup, waterline, output_val, cfg, rng)
             except TypeInferenceError:
                 continue
+            except Exception as e:          # infeasible-plan probe (see doc)
+                unexpected[type(e).__name__] = \
+                    unexpected.get(type(e).__name__, 0) + 1
+                continue
             cost = cost_func(lat, err)
             plan = (dup.attrs["sm_plan_edge"], dup.attrs["sm_plan_scale"],
                     dup.attrs["sm_plan_level"])
@@ -115,6 +123,10 @@ def _explore_chains(fn, n_chains, num_iter, waterline, output_val,
             if cost < opt_cost:
                 opt_plan = plan
                 opt_cost = cost
+    if unexpected:
+        import sys
+        print(f"elasm: skipped infeasible plans with non-TypeInference "
+              f"errors: {unexpected}", file=sys.stderr)
     return opt_plan, opt_cost
 
 

@@ -340,7 +340,11 @@ class HEVMExecutor:
                 defined.add(op.rescale_dst if getattr(op, "fold_rescale", False)
                             else op.dst)
         keep = set(out_regs)
-        dig_cache = {}   # (id(src), nl) -> hoisted ModUp digits (current bank)
+        # (src_reg, nl) -> (src_array, digits): hoisted ModUp digits. Keyed by
+        # the SSA register (NOT id(src) — release() frees arrays, so a reused
+        # id could alias a stale entry); the array is pinned in the entry and
+        # identity-checked so bank flushes that rebind a register still miss.
+        dig_cache = {}
 
         def release(op, i):
             for r in cipher_reads(op, self.num_regs):
@@ -371,18 +375,19 @@ class HEVMExecutor:
                     gks = [getgk(st) for st in op.steps]
                     pts = [self._plain_rows_qp(getplain(r, None), r, nl)
                            for r in op.pt_regs]
-                    dkey = (id(src), nl)
-                    digits = dig_cache.get(dkey)
-                    if digits is None:
+                    dkey = (op.src, nl)
+                    hit = dig_cache.get(dkey)
+                    if hit is not None and hit[0] is src:
+                        digits = hit[1]
+                        dig_cache[dkey] = dig_cache.pop(dkey)  # LRU touch
+                    else:
                         digits = ev.modup(src[1], nl)
                         # small LRU: multi-source conv banks interleave their
                         # groups, so one entry would thrash (measured: 1961
                         # ModUps instead of ~13 on ResNet)
                         if len(dig_cache) >= 8:
                             dig_cache.pop(next(iter(dig_cache)))
-                        dig_cache[dkey] = digits
-                    else:
-                        dig_cache[dkey] = dig_cache.pop(dkey)  # LRU touch
+                        dig_cache[dkey] = (src, digits)
                 rs = self.rr if (op.fold_rescale or op.taps_rescaled) else 0
                 out = ev.rot_mac(src, nl, perms, gks, pts, extras,
                                  fold_rescale_rows=rs,
@@ -587,12 +592,20 @@ class HEVMExecutor:
             info["outs"] = sorted(info["writes"] & live)
             live = (live - info["writes"]) | set(info["ins"])
         self._seg_plan = infos
-        self._seg_fns = [None] * len(infos)
+        self._seg_fns = {}
         return infos
 
+    @staticmethod
+    def _meta_key(in_meta):
+        """Hashable form of the input metadata — the trace bakes nl/scale in,
+        so a run with different arg levels/scales must retrace, not reuse."""
+        return tuple(sorted(in_meta.items()))
+
     def _seg_fn(self, wi, info, in_meta):
-        """Build (cached) the jitted function for window `wi`."""
-        fn = self._seg_fns[wi]
+        """Build (cached) the jitted function for window `wi` at this
+        input metadata."""
+        key = (wi, self._meta_key(in_meta))
+        fn = self._seg_fns.get(key)
         if fn is not None:
             return fn
         ops = info["ops"]
@@ -622,14 +635,47 @@ class HEVMExecutor:
                     rlk=rlk, out_regs=outs,
                 )
 
-        fn = self._seg_fns[wi] = jax.jit(f)
+        fn = self._seg_fns[key] = jax.jit(f)
         return fn
+
+    def set_profiling(self, flag=True):
+        """Per-segment wall-clock attribution for the segmented runner.
+        Adds a device sync after every window (slightly perturbs total time
+        but makes each line honest); results in self.seg_profile, printed
+        by seg_report(). Also on via DACAPO_TPU_SEGPROF=1."""
+        self._segprof = bool(flag)
+
+    def seg_report(self, file=None):
+        import sys
+        f = file or sys.stderr
+        prof = getattr(self, "seg_profile", None)
+        if not prof:
+            return
+        tot = sum(p["s"] for p in prof)
+        by_kind = {}
+        for p in prof:
+            k = by_kind.setdefault(p["kind"], [0.0, 0])
+            k[0] += p["s"]
+            k[1] += 1
+        print(f"[segprof] total {tot:.2f}s over {len(prof)} windows", file=f)
+        for kind, (s, n) in sorted(by_kind.items(), key=lambda kv: -kv[1][0]):
+            print(f"[segprof]   {kind:<6} {s:8.2f}s  x{n}", file=f)
+        for p in sorted(prof, key=lambda p: -p["s"])[:12]:
+            print(f"[segprof]   top: w{p['wi']:<3} {p['kind']:<6} "
+                  f"{p['ops']:>3} ops  {p['s']:.3f}s", file=f)
 
     def _run_segmented(self, arg_cts):
         """Execute via per-segment jit: device-side fusion of every
         bootstrap-free window, host round-trips only at (emulated)
         bootstrap boundaries."""
+        import os
+        import time as _time
         plan = self._segment_plan()
+        profiling = getattr(self, "_segprof", None)
+        if profiling is None:
+            profiling = os.environ.get("DACAPO_TPU_SEGPROF", "0") == "1"
+        prof = []
+        self.seg_profile = prof if profiling else None
         ciphers = {}
         meta = {}
         for i, (data, nl, scale) in enumerate(arg_cts):
@@ -638,11 +684,21 @@ class HEVMExecutor:
         rlk = self.s.keys.rlk
         pk = self.ev.pack()
         for wi, info in enumerate(plan):
+            t0 = _time.perf_counter() if profiling else 0.0
+
+            def _rec(kind, *sync):
+                if profiling:
+                    for v in sync:
+                        jax.block_until_ready(v)
+                    prof.append(dict(wi=wi, kind=kind, ops=len(info["ops"]),
+                                     s=_time.perf_counter() - t0))
+
             if info["kind"] == "boot":
                 op = info["ops"][0]
                 nl, sc = meta[op.lhs]
                 ciphers[op.dst], meta[op.dst] = self._bootstrap(
                     ciphers[op.lhs], nl, sc, op.rhs)
+                _rec("boot", ciphers[op.dst])
                 continue
             if len(info["ops"]) < self.SEGMENT_MIN_OPS:
                 # eager dispatch for tiny tails (mutates ciphers in place;
@@ -655,6 +711,8 @@ class HEVMExecutor:
                     rlk=rlk, out_regs=info["outs"],
                     prefetch=self._plain_prefetch,
                 )
+                _rec("eager", *[ciphers[r] for r in info["outs"]
+                                if r in ciphers])
                 continue
             in_meta = {r: meta[r] for r in info["ins"]}
             fn = self._seg_fn(wi, info, in_meta)
@@ -674,8 +732,11 @@ class HEVMExecutor:
                 self._meta_step(op, meta)
             for r, v in zip(info["outs"], out_cts):
                 ciphers[r] = v
+            _rec("seg", *out_cts)
         outs = [ciphers[r] for r in self.res_dst]
         out_meta = [meta[r] for r in self.res_dst]
+        if profiling:
+            self.seg_report()
         return outs, out_meta
 
     # --------------------------------------------------------- batch / mesh
@@ -686,8 +747,9 @@ class HEVMExecutor:
     # are device_put replicated and GSPMD inserts the collectives.
     def _seg_fn_batch(self, wi, info, in_meta):
         if getattr(self, "_seg_fns_batch", None) is None:
-            self._seg_fns_batch = [None] * len(self._segment_plan())
-        fn = self._seg_fns_batch[wi]
+            self._seg_fns_batch = {}
+        key = (wi, self._meta_key(in_meta))
+        fn = self._seg_fns_batch.get(key)
         if fn is not None:
             return fn
         ops = info["ops"]
@@ -718,7 +780,7 @@ class HEVMExecutor:
                 )
 
         fb = jax.vmap(f, in_axes=(0, None, None, None, None, None))
-        fn = self._seg_fns_batch[wi] = jax.jit(fb)
+        fn = self._seg_fns_batch[key] = jax.jit(fb)
         return fn
 
     def run_encrypted_batch(self, arg_cts, mesh=None):

@@ -241,12 +241,14 @@ def build_fuse_plan(ops, num_regs, res_dst):
         consumed.add(idx)
         fused_at[idx] = emitted
 
-    # a rotatec is dead once EVERY user was fused away
+    # a rotatec is dead once EVERY user was fused away — unless its dst is a
+    # program result (it must still be defined for output materialization)
     for t, info in taps.items():
         if info[1] == "rot" and info[0][0] in consumed:
             rot_idx = info[6]
             rot_dst = ops[rot_idx].dst
-            if all(u in consumed for u in users.get(rot_dst, ())):
+            if rot_dst not in res_set and \
+                    all(u in consumed for u in users.get(rot_dst, ())):
                 consumed.add(rot_idx)
 
     new_ops = []
