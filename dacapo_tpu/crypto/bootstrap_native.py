@@ -37,7 +37,7 @@ from .modmath import add_mod
 class BootstrapConfig:
     K: int = 16           # ModRaise integer range bound |I + m/q0| <= K
     r: int = 3            # double-angle iterations
-    degree: int = 30      # Chebyshev degree for the base cos approx
+    degree: int = 36      # Chebyshev degree for the base cos approx
     baby: int = 8         # Chebyshev BSGS baby-step count (power of two)
     radix: int = 5        # butterfly stages merged per CtS/StC level
     #   Each merged level costs 1 multiplicative depth and ~2*sqrt(2^radix)
@@ -247,6 +247,10 @@ class NativeBootstrapper:
         # the bottom pair. Scale drift from non-nominal primes is re-anchored
         # at every mul_const (exact landing), so square chains stay short.
         self.delta_bs = float(2.0 ** (self.rs * ctx.config.prime_bits))
+        # nominal EvalMod normalizer folded into the last CtS level's
+        # diagonals; the residual (actual delta'/q0' vs 2^-GAP) rides the
+        # declared scale, exactly (see bootstrap()).
+        self.norm_nom = 2.0 ** (-self.GAP_BITS) / self.cfg.K
         # Slot transforms are the FFT-factored twisted DFT (dft_factor.py):
         # ceil(log2 s / radix) sparse-diagonal levels per direction instead
         # of one dense s x s matrix (which is O(s^2) memory — infeasible at
@@ -447,28 +451,70 @@ class NativeBootstrapper:
             qv = eval_poly(q)           # rank(d) - 1
             rv = eval_poly(r)           # rank(deg r) <= rank(d) - 1
             prod = qv.mul_ct(T[gg].drop_to(qv.nl))     # rank(d)
-            # rv sits >= 1 rank above prod (rank(deg r) <= rank(d) - 1);
-            # one const-mul lands it exactly on (prod.nl, prod.scale)
-            rv = rv.drop_to(prod.nl + self.rs).mul_const(1.0, prod.scale)
+            # align the shallower operand onto the deeper one with one
+            # exact-landing const-mul (for deg > 2*b*2 the REMAINDER can be
+            # the deeper branch — chebdiv by T_32 leaves deg-31 remainders)
+            if rv.nl > prod.nl:
+                rv = rv.drop_to(prod.nl + self.rs).mul_const(1.0, prod.scale)
+            elif prod.nl > rv.nl:
+                prod = prod.drop_to(rv.nl + self.rs).mul_const(1.0, rv.scale)
+            elif abs(prod.scale / rv.scale - 1) > 1e-12:
+                rv = rv.mul_const(1.0, delta)
+                prod = prod.mul_const(1.0, delta)
             return prod.add(rv)
 
         return eval_poly(np.asarray(coeffs, dtype=np.complex128))
 
     # ----------------------------------------------------------- pipeline
     def _transforms(self):
+        """CtS/StC level stacks with the EvalMod normalizer and the Re/Im
+        split folded into the boundary levels (zero extra depth):
+
+        * the LAST CtS level is built twice — diagonals scaled by norm_nom
+          and by -i*norm_nom. Re-extraction via conj-add on each output
+          yields both EvalMod inputs without the t1 const-mul level.
+        * the FIRST StC level is built twice — plain and diagonals scaled
+          by i. StC(v_re) + StC_i(v_im) replaces the repack const-mul level
+          (linearity: the i rides one level's diagonals exactly).
+        """
         if self._cts is None:
             from .dft_factor import build_levels
             n = self.s.ctx.n
             radix = self.cfg.radix
-            self._cts = [
-                SlotLinearTransform(self, diags=d)
-                for d in build_levels(n, radix, inverse=True)
-            ]
-            self._stc = [
-                SlotLinearTransform(self, diags=d)
-                for d in build_levels(n, radix, inverse=False)
-            ]
-        return self._cts, self._stc
+            cts = build_levels(n, radix, inverse=True)
+            self._cts = [SlotLinearTransform(self, diags=d)
+                         for d in cts[:-1]]
+            self._cts_last_diags = cts[-1]
+            self._cts_last_cache = {}
+            stc = build_levels(n, radix, inverse=False)
+            scaled = lambda d, c: {off: np.asarray(v) * c
+                                   for off, v in d.items()}
+            self._stc_first = (
+                SlotLinearTransform(self, diags=stc[0]),
+                SlotLinearTransform(self, diags=scaled(stc[0], 1j)),
+            )
+            self._stc = [SlotLinearTransform(self, diags=d)
+                         for d in stc[1:]]
+        return self._cts, self._stc_first, self._stc
+
+    def _cts_last(self, norm):
+        """Last CtS level with `norm/2` folded into its diagonals (both the
+        EvalMod normalizer and the conj-add halving), built per distinct
+        input-delta normalizer so t1 lands EXACTLY on delta_bs — an inexact
+        anchor would drift off the square/rescale fixed point and the scale
+        error doubles per squaring (measured: 2^263 by EvalMod's end)."""
+        self._transforms()
+        key = float(norm)
+        pair = self._cts_last_cache.get(key)
+        if pair is None:
+            scaled = lambda c: {off: np.asarray(v) * c
+                                for off, v in self._cts_last_diags.items()}
+            pair = (
+                SlotLinearTransform(self, diags=scaled(norm / 2)),
+                SlotLinearTransform(self, diags=scaled(-1j * norm / 2)),
+            )
+            self._cts_last_cache[key] = pair
+        return pair
 
     # EvalMod input geometry: pre-upscale the input so delta'/q0' ~ 2^-GAP_BITS
     # (HEaaN: logq0 60, logDelta 51). Larger gap -> worse sin linearization;
@@ -504,54 +550,47 @@ class NativeBootstrapper:
         raised = self.mod_raise_pair(base, 2)
         ct = CtVal(self, raised, delta)
 
-        cts_levels, stc_levels = self._transforms()
+        cts_shared, stc_first, stc_rest = self._transforms()
+        # full normalizer (incl. conj-add halving) folded into the last CtS
+        # level's diagonals — exact, zero extra depth, cached per delta
+        cts_last = self._cts_last(delta / (q0 * cfg.K))
 
-        # Internal working scale ~= q_span * 2^-GAP_BITS (~2^51): ct*ct
-        # squares then satisfy scale^2/q_span ~= scale, so EvalMod's
-        # double-angle chain is scale-stable, and every plaintext constant
+        # Internal working scale = nominal pair size (~2^60): ct*ct squares
+        # satisfy scale^2/q_span ~= scale, and every plaintext constant
         # encodes at pt_scale ~ 2^60 (full precision on uint32 limbs).
         delta_bs = self.delta_bs
 
         # CoeffToSlot: u = A^{-1} z (coeffs in brv slot order); one level
-        # per merged butterfly group
+        # per merged butterfly group. The last level is applied twice with
+        # norm / -i*norm folded into its diagonals; Re-extraction via
+        # conj-add yields both EvalMod inputs with no const-mul level.
         u = ct
-        for t in cts_levels:
+        for t in cts_shared:
             u = t.apply(u, delta_bs)
+        u1 = cts_last[0].apply(u, delta_bs)        # value = (norm/2) * u
+        u2 = cts_last[1].apply(u, delta_bs)        # value = (-i*norm/2) * u
+        t1_re = u1.add(u1.conj())                  # value = norm * Re(u)
+        t1_im = u2.add(u2.conj())                  # value = norm * Im(u)
 
-        # Re/Im split (the 1/2 rides the metadata scale)
-        uc = u.conj()
-        s_re = u.add(uc).scale_by(2.0)                 # value = Re(u)
-        s_im = u.sub(uc).scale_by(2.0)                 # value = i*Im(u) -> fold -i below
-
-        # normalize to [-1,1]: x = value*(delta/(q0*K)) ; -i for the imag leg
-        norm = delta / (q0 * cfg.K)
         coeffs = self._cheb_coeffs()
 
-        def evalmod(leg, pre):
-            # leg.value = a/delta (coeff half over delta);
-            # want t1.value = a/(q0*K) = leg.value * norm  (mul_const
-            # multiplies the VALUE by its constant, exactly)
-            t1 = leg.mul_const(pre * norm, delta_bs)
+        def evalmod(t1):
             y = self._eval_cheb_bsgs(t1, coeffs)
             for _ in range(cfg.r):
                 y = y.square().double_val().add_const(-1.0)
             # y = sin(2*pi*t) ; value m/q0 = y / (2*pi)
             return y.scale_by(2.0 * np.pi)
 
-        v_re = evalmod(s_re, 1.0)
-        v_im = evalmod(s_im, -1j)
+        v_re = evalmod(t1_re)
+        v_im = evalmod(t1_im)       # identical op sequence -> same scale
 
-        # Repack w = v_re + i*v_im (one const-mul level on each leg — far
-        # cheaper than a second full StC chain for the imaginary part),
-        # then ONE factored SlotToCoeff: out = A w.
-        nl_c = min(v_re.nl, v_im.nl)
-        v_re = v_re.drop_to(nl_c)
-        v_im = v_im.drop_to(nl_c)
-        target0 = min(v_re.scale, v_im.scale)
-        w = v_re.mul_const(1.0, target0).add(v_im.mul_const(1j, target0))
-
-        out = w
-        for t in stc_levels:
+        # SlotToCoeff with the repack folded into its first level:
+        # A(v_re + i*v_im) = A1...(Afirst v_re + Afirst_i v_im) — the i rides
+        # the duplicated first level's diagonals, zero extra depth.
+        target0 = v_re.scale
+        out = stc_first[0].apply(v_re, target0).add(
+            stc_first[1].apply(v_im, target0))
+        for t in stc_rest:
             out = t.apply(out, target0)
 
         # out value = z_orig * (delta/q0)... declare true scale:

@@ -16,16 +16,21 @@ import time
 import numpy as np
 
 
-def _time(fn, *args, iters=10, warmup=2):
+def _time(fn, *args, iters=10, warmup=3):
+    """Median of per-iteration wall times: on a tunneled single-chip setup
+    the dispatch path has multi-hundred-us outliers (claim renewals, host
+    GC) that poison a mean — the planner needs the typical cost."""
     import jax
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    ts = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e6      # us
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) * 1e6      # us
 
 
 def profile_backend(profile="tpu_n15", out_path=None, iters=10,

@@ -4,7 +4,8 @@ Reference bar: HEaaN bootstrap 253.7-474.0 ms per level-16 target on GPU
 (config.json:17-23). Reports keygen/transform-build/first-call (compile) and
 steady-state latency + output precision. Run standalone on the chip.
 """
-import sys, time
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 t00 = time.time()

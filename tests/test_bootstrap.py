@@ -25,7 +25,7 @@ def scheme():
 
 @pytest.fixture(scope="module")
 def bs(scheme):
-    return scheme.enable_native_bootstrap(BootstrapConfig(K=16, r=3, degree=30, baby=8))
+    return scheme.enable_native_bootstrap(BootstrapConfig(K=16, r=3, degree=36, baby=8))
 
 
 def test_mod_raise_roundtrip(scheme, bs):
@@ -61,10 +61,12 @@ def test_bootstrap_end_to_end(scheme, bs):
     got = scheme.decrypt(Ciphertext(data, scale2))
     err = got - vals
     rms = float(np.sqrt(np.mean(err * err)))
-    # EvalMod limits precision (sin(x) ~= x within (2*pi*m/q0)^2/6 relative);
-    # with delta/q0 ~= 2^-5 this allows ~1e-3 absolute error
-    assert rms < 5e-2, rms
-    assert np.max(np.abs(err)) < 0.2, np.max(np.abs(err))
+    # precision is INPUT-noise limited: a fresh test_boot encryption at
+    # Delta=2^25 already decrypts at rms ~1.2e-4; the composite-pair
+    # pipeline (pair CRT raise + 2^60 working scale) adds no measurable
+    # error on top (measured identical rms with/without the bootstrap)
+    assert rms < 5e-4, rms
+    assert np.max(np.abs(err)) < 5e-3, np.max(np.abs(err))
 
 
 def test_bootstrap_in_executor(scheme, bs):
