@@ -70,6 +70,22 @@ def main():
     t_add = time_op(lambda x, y: ev.add_ct(x, y, nl), a.data, b.data)
     log(f"add (L={nl}): {t_add*1e3:.3f} ms")
 
+    # per-level latency curves (the shape the planner's estimator needs;
+    # VERDICT r3 asked the committed bench to carry the curve, not a point)
+    rr = s.ctx.config.rescale_rows
+    curve = {"levels": [], "mul_ms": [], "rotate_ms": [], "rescale_ms": []}
+    for lv in range(1, s.ctx.config.num_levels):
+        nli = (lv + 1) * rr
+        ad, bd = a.data[:, :nli, :], b.data[:, :nli, :]
+        curve["levels"].append(lv)
+        curve["mul_ms"].append(round(time_op(
+            lambda x, y: ev.mul_ct(x, y, nli, rlk), ad, bd, iters=10) * 1e3, 4))
+        curve["rotate_ms"].append(round(time_op(
+            lambda x: ev.rotate(x, nli, 1, gk), ad, iters=10) * 1e3, 4))
+        curve["rescale_ms"].append(round(time_op(
+            lambda x: ev.rescale_k(x, nli, rr), ad, iters=10) * 1e3, 4))
+    log("per-level curve:", json.dumps(curve))
+
     # sanity: the benchmark op must be *correct*, not just fast
     out = s.decrypt(s.rescale(s.mul(a, b)))
     rms = float(np.sqrt(np.mean((out - va * vb) ** 2)))

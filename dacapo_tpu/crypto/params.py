@@ -47,6 +47,9 @@ class CKKSConfig:
     #   Bootstrappable profiles use a sparse secret so the ModRaise integer
     #   part I stays within the EvalMod range K (HEaaN-style sparse keys;
     #   sigma(I) ~ sqrt(h/12), so h=192 keeps |I| < 25 w.h.p.).
+    native_bootstrap: bool = False  # runner auto-enables NativeBootstrapper
+    #   (CtS/EvalMod/StC pipeline) instead of the decrypt/re-encrypt oracle;
+    #   requires a chain deep enough for the ~30-row pipeline.
     rescale_rows: int = 1         # RNS rows dropped per rescale level.
     #   1: classic single-prime rescale (rf = prime_bits).
     #   2: composite rescale over balanced prime PAIRS (rf = 2*prime_bits):
@@ -103,13 +106,14 @@ PROFILES = {
     # budgets the native bootstrapper's pair-composite pipeline (~32 rows:
     # CtS/StC radix-8 + Chebyshev EvalMod) plus program levels above it.
     "tpu_n16": CKKSConfig(n=1 << 16, num_q=42, alpha=14, prime_bits=30,
-                          scale_bits=28, secret_h=192),
+                          scale_bits=28, secret_h=192, native_bootstrap=True),
     # PARITY-class bootstrap-capable composite profile (insecure dev, like
     # tpu_n15): SEAL-regime rf=60/waterline-40 programs with enough chain
     # for native (non-oracle) bootstrapping. 24 levels; the pipeline's ~16
     # leave targets up to ~7.
     "tpu_n15b": CKKSConfig(n=1 << 15, num_q=48, alpha=12, prime_bits=30,
-                           scale_bits=40, rescale_rows=2, secret_h=192),
+                           scale_bits=40, rescale_rows=2, secret_h=192,
+                           native_bootstrap=True),
     # PARITY profile (insecure: logQP ~ 604 > 440): N=2^14-class traces
     # (reference hc-test SEAL runs trace at nt=2^14)
     "tpu_n14": CKKSConfig(n=1 << 14, num_q=16, alpha=4, prime_bits=30,

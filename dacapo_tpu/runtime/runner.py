@@ -19,6 +19,8 @@ from ..crypto import keys as keymod
 from ..ir.config import load_profile
 from ..ir.serialize import read_cst
 from ..vm.hevm import HEVMProgram
+
+_LAST_EXECUTOR = None   # most recently loaded executor (profiling hooks)
 from ..vm.executor import HEVMExecutor
 
 _selected_profile = os.environ.get("DACAPO_TPU_PROFILE", "tpu_n15")
@@ -70,6 +72,14 @@ class HEVM:
         self.keyset_dir = keyset_dir or os.path.expanduser(
             f"~/.hevm/tpu/{self.profile}")
         self._load_or_gen_keys()
+        if self.scheme.ctx.config.native_bootstrap and mode != "client":
+            # real CKKS bootstrapping (no secret key / host round-trip at
+            # runtime) — the HEAAN_HEVM-class path. Larger slot counts use a
+            # bigger butterfly radix: fewer CtS/StC levels, more rotations
+            # per level (depth is the scarce resource at flagship chains).
+            from ..crypto.bootstrap_native import BootstrapConfig
+            radix = 7 if self.scheme.ctx.config.n_slots >= (1 << 14) else 5
+            self.scheme.enable_native_bootstrap(BootstrapConfig(radix=radix))
         self.executor = None
         self.prog = None
         self.inputs = {}
@@ -115,6 +125,8 @@ class HEVM:
         prog = HEVMProgram.load(hevm_path)
         self.prog = prog
         self.executor = HEVMExecutor(self.scheme, prog, constants)
+        global _LAST_EXECUTOR   # profiling hooks (scripts/resnet_flagship.py)
+        _LAST_EXECUTOR = self.executor
         if getattr(self, "_debug", False):
             self.executor.setDebug(True)
         self.executor.preprocess()

@@ -23,6 +23,9 @@ t0 = time.time(); s = Scheme(profile)
 log(f"context: {time.time()-t0:.1f}s (N=2^{s.ctx.logn}, "
     f"{len(s.ctx.q_primes)}+{len(s.ctx.p_primes)} primes, logQP={s.ctx.logqp})")
 t0 = time.time(); s.generate_keys(); log(f"keygen: {time.time()-t0:.1f}s")
+# standalone scheme has no executor memory plan: cap device-resident galois
+# keys (the ~90 CtS/StC rotation keys at 56 QP rows would exceed HBM)
+s.set_key_budget(7 << 30)
 t0 = time.time()
 bs = s.enable_native_bootstrap(BootstrapConfig(K=16, r=3, degree=30, baby=8))
 log(f"bootstrapper init: {time.time()-t0:.1f}s")
