@@ -41,6 +41,32 @@ class EmulatedBootstrapper:
         ct = s.encrypt_pt(pt)
         return ct.data, (nl2, scale)
 
+    def bootstrap_batch(self, data, nl, scale, target_level):
+        """Batched oracle: data [B, 2, nl, N]. One device->host transfer and
+        one batched NTT per direction instead of B serial round-trips
+        (run_encrypted_batch would otherwise serialize ~B*boots host trips)."""
+        from .scheme import Ciphertext, Plaintext
+        s = self.s
+        B = int(data.shape[0])
+        rows = list(range(nl))
+        # batch decrypt: m = c0 + c1*s (NTT domain), then one big iNTT
+        from .modmath import add_mod, mul_mod
+        qq = s.ev._mm_consts(rows)
+        m = add_mod(data[:, 0], mul_mod(data[:, 1], s.keys.s_ntt[:nl], *qq),
+                    qq[0])                               # [B, nl, N]
+        flat = m.reshape(B * nl, s.ctx.n)
+        planes = np.asarray(s.ev.intt(flat, rows * B)).reshape(B, nl, -1)
+        nl2 = (target_level + 1) * s.ctx.config.rescale_rows
+        outs = np.empty((B, nl2, s.ctx.n), dtype=np.uint32)
+        for b in range(B):
+            ci = s.encoder.crt_lift(planes[b]).astype(np.int64)
+            for i in range(nl2):
+                outs[b, i] = np.mod(ci, s.ctx.q_primes[i]).astype(np.uint32)
+        up = s.ev.ntt(jnp.asarray(outs.reshape(B * nl2, -1)),
+                      list(range(nl2)) * B).reshape(B, nl2, -1)
+        cts = [s.encrypt_pt(Plaintext(up[b], scale)).data for b in range(B)]
+        return jnp.stack(cts), (nl2, scale)
+
 
 def Bootstrapper(scheme, native=None):
     """Pick the native path when its keys are available, else emulate."""

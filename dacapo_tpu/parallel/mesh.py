@@ -44,9 +44,16 @@ def batch_sharding(mesh):
     return NamedSharding(mesh, P("dp", None, "mp", None))
 
 
-def key_sharding(mesh):
-    """[dnum, 2, rows, N] key-switch keys: replicated (read-only broadcast
-    weights; QP row count is not generally divisible by the mp axis)."""
+def key_sharding(mesh, rows=None):
+    """[dnum, 2, rows, N] key-switch keys.
+
+    When the QP row count divides the mp axis, keys shard on their ROW
+    axis — aligned with the ciphertext limb sharding, the keyswitch inner
+    product is row-pointwise so no collective touches the key bytes and
+    each chip holds rows/mp of every key (a ResNet-class 7 GB keyset stops
+    being replicated per chip). Otherwise fall back to replication."""
+    if rows is not None and rows % mesh.shape["mp"] == 0:
+        return NamedSharding(mesh, P(None, None, "mp", None))
     return NamedSharding(mesh, P(None, None, None, None))
 
 
@@ -143,6 +150,7 @@ def dryrun_program(n_devices, profile="test_n10", batch=None, waterline=25):
             acc = t if acc is None else acc + t
         h = acc + 0.1
         h = h * h
+        h = hc.bootstrap(h)     # exercises the BATCHED bootstrap window
         return h * hc.Plain(w[0])
 
     def golden(x):

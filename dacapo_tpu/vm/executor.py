@@ -789,7 +789,7 @@ class HEVMExecutor:
         mesh: optional jax Mesh with axes ("dp", "mp") — batch rows shard
         over dp, limb planes over mp. Returns (outs [each [B, 2, nl, N]],
         out_meta) in _last_outputs like run_encrypted."""
-        from ..parallel.mesh import batch_sharding, replicated
+        from ..parallel.mesh import batch_sharding, key_sharding, replicated
 
         def put_batch(x):
             x = jnp.asarray(x)
@@ -802,23 +802,41 @@ class HEVMExecutor:
                 return jnp.asarray(x) if not hasattr(x, "sharding") else x
             return jax.device_put(x, replicated(mesh, jnp.ndim(x)))
 
+        def put_key(x):
+            # [dnum, 2, rows, N]: rows shard over mp when divisible — each
+            # chip then holds rows/mp of every rotation key instead of a
+            # full replica (see parallel/mesh.py key_sharding)
+            if mesh is None:
+                return jnp.asarray(x) if not hasattr(x, "sharding") else x
+            return jax.device_put(x, key_sharding(mesh, rows=x.shape[2]))
+
         plan = self._segment_plan()
         ciphers = {}
         meta = {}
         for i, (data, nl, scale) in enumerate(arg_cts):
             ciphers[i] = put_batch(data)
             meta[i] = (nl, scale)
-        rlk = put_rep(self.s.keys.rlk)
+        rlk = put_key(self.s.keys.rlk)
         pk = jax.tree.map(put_rep, self.ev.pack())
         for wi, info in enumerate(plan):
             if info["kind"] == "boot":
                 op = info["ops"][0]
                 nl, sc = meta[op.lhs]
-                rows = []
-                for b in range(ciphers[op.lhs].shape[0]):
-                    out, m2 = self._bootstrap(ciphers[op.lhs][b], nl, sc, op.rhs)
-                    rows.append(out)
-                ciphers[op.dst] = put_batch(jnp.stack(rows))
+                from ..crypto.bootstrap import Bootstrapper
+                bs = getattr(self, "_bs", None)
+                if bs is None:
+                    bs = self._bs = Bootstrapper(self.s)
+                if hasattr(bs, "bootstrap_batch"):
+                    out, m2 = bs.bootstrap_batch(
+                        np.asarray(ciphers[op.lhs]), nl, sc, op.rhs)
+                    ciphers[op.dst] = put_batch(out)
+                else:
+                    rows = []
+                    for b in range(ciphers[op.lhs].shape[0]):
+                        out, m2 = self._bootstrap(
+                            ciphers[op.lhs][b], nl, sc, op.rhs)
+                        rows.append(out)
+                    ciphers[op.dst] = put_batch(jnp.stack(rows))
                 meta[op.dst] = m2
                 continue
             in_meta = {r: meta[r] for r in info["ins"]}
@@ -826,7 +844,7 @@ class HEVMExecutor:
             in_cts = [ciphers[r] for r in info["ins"]]
             plains_l = [put_rep(self._plain(self.plains, r, None))
                         for r in info["plain_regs"]]
-            gks_l = [put_rep(self.s.keys.galois[st]) for st in info["rot_steps"]]
+            gks_l = [put_key(self.s.keys.galois[st]) for st in info["rot_steps"]]
             if info["rot_steps"]:
                 perms_arr = put_rep(jnp.asarray(np.stack(
                     [self.s.ctx.rot_perm(st) for st in info["rot_steps"]]),
