@@ -22,50 +22,81 @@ class EmulatedBootstrapper:
             "emulated bootstrapping needs the secret key (full VM mode)"
 
     def bootstrap(self, data, nl, scale, target_level):
-        """Decrypt -> re-encrypt in the COEFFICIENT domain: no slot FFT
-        round-trip, just a CRT lift (vectorized int64 — the planner pins
-        bootstrap operands to the chain bottom, see refine_level) and an
-        RNS re-expansion + fresh encryption of the same polynomial.
-        `target_level` is in hevm levels; composite profiles expand it to
-        rescale_rows RNS rows per level."""
-        from .scheme import Ciphertext, Plaintext
+        """Decrypt -> re-encrypt ENTIRELY ON DEVICE: m = c0 + c1*s in the
+        NTT domain at the chain bottom, iNTT, exact uint32 CRT lift to the
+        target chain (crt_lift), NTT back, plus a fresh encryption — zero
+        device<->host ciphertext traffic. The old host path's blocking
+        download + int64 lift serialized the dispatch queue 19 times per
+        ResNet run; this keeps the bootstrap asynchronous like every other
+        op. (Still the insecure oracle: the server holds s, exactly like
+        the reference SEAL build, SEAL_HEVM.cpp:324-334.)"""
+        from .modmath import add_mod, mul_mod
+        from .crt_lift import pair_crt_expand, single_crt_expand
         s = self.s
-        planes = s.decrypt_planes(Ciphertext(data, scale))
-        coeffs = s.encoder.crt_lift(planes)          # centered m + e, float64
-        nl2 = (target_level + 1) * s.ctx.config.rescale_rows
-        ci = coeffs.astype(np.int64)
-        out = np.empty((nl2, s.ctx.n), dtype=np.uint32)
-        for i in range(nl2):
-            out[i] = np.mod(ci, s.ctx.q_primes[i]).astype(np.uint32)
-        pt = Plaintext(s.ev.ntt(jnp.asarray(out), list(range(nl2))), scale)
-        ct = s.encrypt_pt(pt)
-        return ct.data, (nl2, scale)
+        ctx = s.ctx
+        nl2 = (target_level + 1) * ctx.config.rescale_rows
+        nb = 2 if nl >= 2 else 1                       # base rows for the lift
+        rows = list(range(nb))
+        qq = s.ev._mm_consts(rows)
+        m_ntt = add_mod(data[0, :nb], mul_mod(data[1, :nb],
+                                              s.keys.s_ntt[:nb], *qq), qq[0])
+        c = s.ev.intt(m_ntt, rows)                     # [nb, N] coeffs
+        if nb == 2:
+            lifted = pair_crt_expand(ctx, c[0], c[1], nl2)
+        else:
+            lifted = single_crt_expand(ctx, c[0], nl2)
+        m2 = s.ev.ntt(lifted, list(range(nl2)))
+
+        # fresh encryption of m2 (host RNG for v/e, device NTT — ~N ints)
+        kg = s.keygen
+        v = kg._ntt_planes(kg._ternary(), list(range(nl2)))
+        e0 = kg._ntt_planes(kg._gauss(), list(range(nl2)))
+        e1 = kg._ntt_planes(kg._gauss(), list(range(nl2)))
+        qq2 = s.ev._mm_consts(list(range(nl2)))
+        q2 = qq2[0]
+        pk = s.keys.pk[:, :nl2, :]
+        c0 = add_mod(add_mod(mul_mod(v, pk[0], *qq2), e0, q2), m2, q2)
+        c1 = add_mod(mul_mod(v, pk[1], *qq2), e1, q2)
+        return jnp.stack([c0, c1]), (nl2, scale)
 
     def bootstrap_batch(self, data, nl, scale, target_level):
-        """Batched oracle: data [B, 2, nl, N]. One device->host transfer and
-        one batched NTT per direction instead of B serial round-trips
-        (run_encrypted_batch would otherwise serialize ~B*boots host trips)."""
-        from .scheme import Ciphertext, Plaintext
-        s = self.s
-        B = int(data.shape[0])
-        rows = list(range(nl))
-        # batch decrypt: m = c0 + c1*s (NTT domain), then one big iNTT
+        """Batched device oracle: data [B, 2, nl, N], one dispatch chain for
+        the whole batch (no per-row host trips)."""
         from .modmath import add_mod, mul_mod
+        from .crt_lift import pair_crt_expand, single_crt_expand
+        s = self.s
+        ctx = s.ctx
+        data = jnp.asarray(data)
+        B = int(data.shape[0])
+        nl2 = (target_level + 1) * ctx.config.rescale_rows
+        nb = 2 if nl >= 2 else 1
+        rows = list(range(nb))
         qq = s.ev._mm_consts(rows)
-        m = add_mod(data[:, 0], mul_mod(data[:, 1], s.keys.s_ntt[:nl], *qq),
-                    qq[0])                               # [B, nl, N]
-        flat = m.reshape(B * nl, s.ctx.n)
-        planes = np.asarray(s.ev.intt(flat, rows * B)).reshape(B, nl, -1)
-        nl2 = (target_level + 1) * s.ctx.config.rescale_rows
-        outs = np.empty((B, nl2, s.ctx.n), dtype=np.uint32)
-        for b in range(B):
-            ci = s.encoder.crt_lift(planes[b]).astype(np.int64)
-            for i in range(nl2):
-                outs[b, i] = np.mod(ci, s.ctx.q_primes[i]).astype(np.uint32)
-        up = s.ev.ntt(jnp.asarray(outs.reshape(B * nl2, -1)),
-                      list(range(nl2)) * B).reshape(B, nl2, -1)
-        cts = [s.encrypt_pt(Plaintext(up[b], scale)).data for b in range(B)]
-        return jnp.stack(cts), (nl2, scale)
+        m_ntt = add_mod(data[:, 0, :nb], mul_mod(data[:, 1, :nb],
+                                                 s.keys.s_ntt[:nb], *qq),
+                        qq[0])                           # [B, nb, N]
+        c = s.ev.intt(m_ntt.reshape(B * nb, ctx.n),
+                      rows * B).reshape(B, nb, ctx.n)
+        if nb == 2:
+            lifted = pair_crt_expand(ctx, c[:, 0], c[:, 1], nl2)
+        else:
+            lifted = single_crt_expand(ctx, c[:, 0], nl2)
+        m2 = s.ev.ntt(lifted.reshape(B * nl2, ctx.n),
+                      list(range(nl2)) * B).reshape(B, nl2, ctx.n)
+
+        kg = s.keygen
+        def rand_planes(gen):
+            return jnp.stack([kg._ntt_planes(gen(), list(range(nl2)))
+                              for _ in range(B)])
+        v = rand_planes(kg._ternary)
+        e0 = rand_planes(kg._gauss)
+        e1 = rand_planes(kg._gauss)
+        qq2 = s.ev._mm_consts(list(range(nl2)))
+        q2 = qq2[0]
+        pk = s.keys.pk[:, :nl2, :]
+        c0 = add_mod(add_mod(mul_mod(v, pk[0], *qq2), e0, q2), m2, q2)
+        c1 = add_mod(mul_mod(v, pk[1], *qq2), e1, q2)
+        return jnp.stack([c0, c1], axis=1), (nl2, scale)
 
 
 def Bootstrapper(scheme, native=None):

@@ -326,50 +326,14 @@ class NativeBootstrapper:
         ~ 1e-5 relative — the HEaaN base-modulus geometry (their logq0=60 >
         logDelta=51), unreachable from any single uint32 prime.
 
-        Exact uint32 arithmetic throughout: v = v0 + q0*t with
-        t = (v1 - v0)/q0 mod q1, then per-row v mod q_i =
-        v0 + (q0 mod q_i)*t (mod q_i), centered by subtracting q0*q1 when
-        (t, v0) > (t_half, v0_half) lexicographically."""
-        from .modmath import sub_mod, add_mod, mul_mod_shoup, host_shoup
+        Exact uint32 arithmetic throughout (crt_lift.pair_crt_expand)."""
+        from .crt_lift import pair_crt_expand
         ctx = self.s.ctx
         num_q = ctx.config.num_q
-        q0, q1 = ctx.q_primes[0], ctx.q_primes[1]
         assert nl >= 2, "pair-base mod_raise needs >= 2 RNS rows"
         c = self.ev.intt(data[:, :2, :].reshape(4, ctx.n), [0, 1, 0, 1])
         c = c.reshape(2, 2, ctx.n)
-        v0 = c[:, 0, :]                                   # [2, N] mod q0
-        v1 = c[:, 1, :]                                   # [2, N] mod q1
-
-        # t = (v1 - v0) * q0^{-1} mod q1
-        uq1 = jnp.uint32(q1)
-        v0q1 = jnp.where(v0 >= uq1, v0 - uq1, v0)
-        inv_q0 = pow(q0, -1, q1)
-        t = mul_mod_shoup(sub_mod(v1, v0q1, uq1),
-                          jnp.uint32(inv_q0),
-                          jnp.uint32(host_shoup(inv_q0, q1)), uq1)
-
-        # centering flag: v > (q0*q1 - 1) // 2
-        half = (q0 * q1 - 1) // 2
-        t_half, v0_half = half // q0, half % q0
-        neg = (t > jnp.uint32(t_half)) | (
-            (t == jnp.uint32(t_half)) & (v0 > jnp.uint32(v0_half)))
-
-        qs = [ctx.q_primes[i] for i in range(num_q)]
-        arr = lambda f: jnp.asarray(
-            np.array([f(q) for q in qs], np.uint32))[None, :, None]
-        q_r = arr(lambda q: q)
-        q0m = arr(lambda q: q0 % q)
-        q0m_sh = arr(lambda q: host_shoup(q0 % q, q))
-        q01m = arr(lambda q: (q0 * q1) % q)
-
-        tb = t[:, None, :]                                # [2, 1, N]
-        v0b = v0[:, None, :]
-        # reduce t, v0 into [0, q_i) (balanced ~30-bit primes: one cond-sub)
-        t_r = jnp.where(tb >= q_r, tb - q_r, tb)
-        v0_r = jnp.where(v0b >= q_r, v0b - q_r, v0b)
-        r = add_mod(v0_r, mul_mod_shoup(t_r, q0m, q0m_sh, q_r), q_r)
-        r = jnp.where(neg[:, None, :], sub_mod(r, q01m, q_r), r)
-
+        r = pair_crt_expand(ctx, c[:, 0, :], c[:, 1, :], num_q)
         flat = r.reshape(2 * num_q, ctx.n)
         rows = [i for i in range(num_q)] + [i for i in range(num_q)]
         return self.ev.ntt(flat, rows).reshape(2, num_q, ctx.n)
