@@ -33,6 +33,26 @@ def _time(fn, *args, iters=10, warmup=3):
     return float(np.median(ts)) * 1e6      # us
 
 
+def isotonic(v):
+    """Nondecreasing least-squares fit (pool adjacent violators). Op cost is
+    monotone in level (strictly more rows of work); residual variation in
+    the measurements is tunnel-dispatch jitter, which would otherwise hand
+    the DP planner a nonsense cost surface."""
+    v = [float(x) for x in v]
+    blocks = [[x, 1] for x in v]   # [mean, count]
+    out = []
+    for b in blocks:
+        out.append(b)
+        while len(out) > 1 and out[-2][0] > out[-1][0]:
+            s2, n2 = out.pop()
+            s1, n1 = out.pop()
+            out.append([(s1 * n1 + s2 * n2) / (n1 + n2), n1 + n2])
+    res = []
+    for mean, cnt in out:
+        res.extend([round(mean, 2)] * cnt)
+    return res
+
+
 def profile_backend(profile="tpu_n15", out_path=None, iters=10,
                     bootstrap=False):
     from ..crypto.scheme import Scheme
@@ -96,6 +116,8 @@ def profile_backend(profile="tpu_n15", out_path=None, iters=10,
         else:
             # scale the reference HEaaN-GPU curve as the placeholder
             lat["earth.bootstrap_single"].append(250000.0 + 8000.0 * nl)
+
+    lat = {k: isotonic(v) for k, v in lat.items()}
 
     from ..crypto.params import COMPILER_PROFILES
     out_path = out_path or os.path.join(
