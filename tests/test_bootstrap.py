@@ -75,3 +75,33 @@ def test_bootstrap_in_executor(scheme, bs):
     from dacapo_tpu.crypto.bootstrap import Bootstrapper
     from dacapo_tpu.crypto.bootstrap_native import NativeBootstrapper
     assert isinstance(Bootstrapper(scheme), NativeBootstrapper)
+
+
+def test_device_oracle_batch_matches_single():
+    """The device-resident emulated oracle: batch path == per-row path
+    (same lift/re-encrypt semantics) on a composite (rescale_rows=2)
+    profile, where the lift runs from the bottom prime PAIR."""
+    from dacapo_tpu.crypto.bootstrap import EmulatedBootstrapper
+
+    s = Scheme("test_n11c")
+    s.generate_keys()
+    bs = EmulatedBootstrapper(s)
+    n = s.ctx.config.n_slots
+    rng = np.random.default_rng(5)
+    delta = 2.0 ** s.ctx.config.scale_bits
+    vals = rng.uniform(-1, 1, (3, n))
+    cts = np.stack([np.asarray(s.encrypt(v, scale=delta, nl=2).data)
+                    for v in vals])
+
+    target = 3
+    out_b, (nl2, sc) = bs.bootstrap_batch(cts, 2, delta, target)
+    assert nl2 == (target + 1) * s.ctx.config.rescale_rows
+    for i, v in enumerate(vals):
+        got = s.decrypt(Ciphertext(out_b[i], sc))
+        rms = float(np.sqrt(np.mean((got - v) ** 2)))
+        assert rms < 5e-4, (i, rms)
+        single, (nl1, sc1) = bs.bootstrap(cts[i], 2, delta, target)
+        assert nl1 == nl2
+        got1 = s.decrypt(Ciphertext(single, sc1))
+        rms1 = float(np.sqrt(np.mean((got1 - v) ** 2)))
+        assert rms1 < 5e-4, (i, rms1)
