@@ -528,6 +528,8 @@ class HEVMExecutor:
     SEGMENT_MAX_OPS = int(__import__("os").environ.get(
         "DACAPO_TPU_SEG_OPS", "96"))   # split long windows (compile-time bound)
     SEGMENT_MIN_OPS = 4        # below this, eager dispatch is cheaper
+    SYNC_EVERY = int(__import__("os").environ.get(
+        "DACAPO_TPU_SYNC_EVERY", "6"))   # windows between dispatch syncs
 
     def _segment_plan(self):
         """Split the (SSA, fused) program into windows; compute per-window
@@ -589,7 +591,16 @@ class HEVMExecutor:
 
         live = set(self.res_dst)
         for info in reversed(infos):
-            info["outs"] = sorted(info["writes"] & live)
+            # canonical (definition-order) output ordering: windows with the
+            # same STRUCTURE but different register numbers then agree
+            # positionally, which lets them share one compiled function
+            def_order = {}
+            for i, op in enumerate(info["ops"]):
+                d = op.rescale_dst if getattr(op, "fold_rescale", False) \
+                    else op.dst
+                def_order.setdefault(d, i)
+            info["outs"] = sorted(info["writes"] & live,
+                                  key=lambda r: def_order.get(r, 1 << 30))
             live = (live - info["writes"]) | set(info["ins"])
         self._seg_plan = infos
         self._seg_fns = {}
@@ -601,10 +612,66 @@ class HEVMExecutor:
         so a run with different arg levels/scales must retrace, not reuse."""
         return tuple(sorted(in_meta.items()))
 
+    def _seg_struct_key(self, info, in_meta):
+        """Canonical STRUCTURAL identity of a window: opcodes + dataflow with
+        registers renumbered in first-appearance order, rotation steps and
+        plaintexts by within-window position, levels (shapes) included,
+        scales excluded (host-metadata only — they never reach the HLO).
+
+        Windows from repeated model blocks (ResNet stages) hash equal and
+        share ONE compiled function: argument lists are built in the same
+        canonical order on both sides, so fn(A-args) and fn(B-args) compute
+        the same program on each window's own data. Measured: 86 ResNet
+        windows -> a handful of distinct compiles."""
+        ins = info["ins"]
+        rot_ix = {st: i for i, st in enumerate(info["rot_steps"])}
+        pt_ix = {r: i for i, r in enumerate(info["plain_regs"])}
+        m = {}
+
+        def reg(r):
+            if r not in m:
+                m[r] = len(m)
+            return m[r]
+
+        for r in ins:
+            reg(r)
+        items = [tuple((reg(r), in_meta[r][0]) for r in ins)]
+        items.append(tuple(
+            (self.plain_meta[r][0], r in self._fused_pt_regs)
+            for r in info["plain_regs"]))
+        for op in info["ops"]:
+            if op.opcode == OP_ROTMAC:
+                items.append((
+                    "rm", reg(op.src) if op.src >= 0 else -1,
+                    tuple(rot_ix[st] for st in op.steps),
+                    tuple(pt_ix[r] for r in op.pt_regs),
+                    tuple(reg(r) for r in op.extra),
+                    tuple(reg(r) for r in op.plain_vals),
+                    tuple(pt_ix[r] for r in op.plain_pts),
+                    bool(op.fold_rescale), bool(op.taps_rescaled),
+                    reg(op.rescale_dst if op.fold_rescale else op.dst)))
+            elif op.opcode == OP_ROTATE:
+                items.append(("rot", reg(op.lhs),
+                              rot_ix[op.rhs] if op.rhs != 0 else -1,
+                              reg(op.dst)))
+            elif op.opcode == OP_UPRESCALE:
+                items.append(("uprs", reg(op.lhs), op.up_bits, reg(op.dst)))
+            else:
+                rhs = op.rhs
+                if op.opcode in (OP_ADDCC, OP_MULCC):
+                    rhs = reg(op.rhs)
+                elif op.opcode in (OP_ADDCP, OP_MULCP):
+                    rhs = pt_ix[op.rhs]
+                elif op.opcode in (OP_NEGATE, OP_RESCALE):
+                    rhs = 0
+                items.append((op.opcode, reg(op.lhs), rhs, reg(op.dst)))
+        items.append(tuple(reg(r) for r in info["outs"]))
+        return tuple(items)
+
     def _seg_fn(self, wi, info, in_meta):
-        """Build (cached) the jitted function for window `wi` at this
-        input metadata."""
-        key = (wi, self._meta_key(in_meta))
+        """Build (cached) the jitted function for this window's STRUCTURE
+        at this input metadata (structurally identical windows share it)."""
+        key = self._seg_struct_key(info, in_meta)
         fn = self._seg_fns.get(key)
         if fn is not None:
             return fn
@@ -638,6 +705,14 @@ class HEVMExecutor:
         fn = self._seg_fns[key] = jax.jit(f)
         return fn
 
+    @staticmethod
+    def _rss_gb():
+        try:
+            with open("/proc/self/statm") as f:
+                return round(int(f.read().split()[1]) * 4096 / 2 ** 30, 2)
+        except Exception:
+            return -1.0
+
     def set_profiling(self, flag=True):
         """Per-segment wall-clock attribution for the segmented runner.
         Adds a device sync after every window (slightly perturbs total time
@@ -662,7 +737,11 @@ class HEVMExecutor:
             print(f"[segprof]   {kind:<6} {s:8.2f}s  x{n}", file=f)
         for p in sorted(prof, key=lambda p: -p["s"])[:12]:
             print(f"[segprof]   top: w{p['wi']:<3} {p['kind']:<6} "
-                  f"{p['ops']:>3} ops  {p['s']:.3f}s", file=f)
+                  f"{p['ops']:>3} ops  {p['s']:.3f}s  rss={p.get('rss', -1)}G",
+                  file=f)
+        if prof:
+            print(f"[segprof]   host rss: start {prof[0].get('rss', -1)}G "
+                  f"end {prof[-1].get('rss', -1)}G", file=f)
 
     def _run_segmented(self, arg_cts):
         """Execute via per-segment jit: device-side fusion of every
@@ -691,7 +770,8 @@ class HEVMExecutor:
                     for v in sync:
                         jax.block_until_ready(v)
                     prof.append(dict(wi=wi, kind=kind, ops=len(info["ops"]),
-                                     s=_time.perf_counter() - t0))
+                                     s=_time.perf_counter() - t0,
+                                     rss=_rss_gb()))
 
             if info["kind"] == "boot":
                 op = info["ops"][0]
@@ -733,6 +813,15 @@ class HEVMExecutor:
             for r, v in zip(info["outs"], out_cts):
                 ciphers[r] = v
             _rec("seg", *out_cts)
+            # dispatch throttle: with the device-resident oracle there are
+            # no natural sync points left, and enqueueing the WHOLE program
+            # pins every host-side upload (streamed keys/plaintexts) of every
+            # in-flight window — measured 130 GB host RSS -> OOM on the
+            # tunneled backend. One sync every few windows bounds in-flight
+            # memory at negligible latency cost.
+            if not profiling and out_cts and (wi % self.SYNC_EVERY
+                                              == self.SYNC_EVERY - 1):
+                jax.block_until_ready(out_cts[-1])
         outs = [ciphers[r] for r in self.res_dst]
         out_meta = [meta[r] for r in self.res_dst]
         if profiling:
