@@ -135,6 +135,7 @@ class HEVM:
             # (incremental: existing key files are never re-downloaded/rewritten)
             keymod.save_keyset(self.scheme.keys, self.keyset_dir,
                                skip_existing=True)
+        self._galois_count = len(self.scheme.keys.galois)
 
     def loadClient(self, hevm_path):
         """Client loader: header only (arg/res scales+levels), no constants,
@@ -224,6 +225,13 @@ class HEVM:
         else:
             args = [self.inputs[i] for i in range(n_args)]
             self._out = self.executor.run(args, jit=self.jit)
+        # keys generated lazily DURING the run (native-bootstrap CtS/StC
+        # rotations, conj) persist incrementally so later runs reload them
+        if self.mode == "full" and len(self.scheme.keys.galois) > getattr(
+                self, "_galois_count", 1 << 60):
+            keymod.save_keyset(self.scheme.keys, self.keyset_dir,
+                               skip_existing=True)
+            self._galois_count = len(self.scheme.keys.galois)
         return self._out
 
     def getOutput(self):

@@ -837,7 +837,7 @@ class HEVMExecutor:
     def _seg_fn_batch(self, wi, info, in_meta):
         if getattr(self, "_seg_fns_batch", None) is None:
             self._seg_fns_batch = {}
-        key = (wi, self._meta_key(in_meta))
+        key = self._seg_struct_key(info, in_meta)
         fn = self._seg_fns_batch.get(key)
         if fn is not None:
             return fn
