@@ -771,7 +771,7 @@ class HEVMExecutor:
                         jax.block_until_ready(v)
                     prof.append(dict(wi=wi, kind=kind, ops=len(info["ops"]),
                                      s=_time.perf_counter() - t0,
-                                     rss=_rss_gb()))
+                                     rss=self._rss_gb()))
 
             if info["kind"] == "boot":
                 op = info["ops"][0]

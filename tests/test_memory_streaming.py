@@ -113,3 +113,55 @@ def test_preprocess_dedups_payloads():
     n_encodes = sum(1 for p in ex.plains if p is not None)
     assert len(cids) <= n_encodes
     s.set_key_budget(None)
+
+
+def test_segprof_smoke():
+    """Segmented runner with profiling on: attribution records, RSS capture,
+    and the structural dedup path all execute (guards segprof-only crashes
+    that otherwise only surface on the chip)."""
+    import numpy as np
+    import dacapo_tpu as hc
+    from dacapo_tpu.crypto.params import COMPILER_PROFILES
+    from dacapo_tpu.crypto.scheme import Scheme
+    from dacapo_tpu.ir import trace as trace_mod
+    from dacapo_tpu.ir.config import load_profile
+    from dacapo_tpu.passes.rewrite import (
+        cse, canonicalize, elide_constants, privatize_constants,
+    )
+    from dacapo_tpu.passes.pipeline import compile_function
+    from dacapo_tpu.vm.executor import HEVMExecutor
+
+    profile = "test_n10"
+    load_profile(COMPILER_PROFILES[profile])
+    s = Scheme(profile)
+    s.generate_keys()
+    n = s.ctx.config.n_slots
+    rng = np.random.default_rng(0)
+    w = rng.normal(0, 0.3, (4, n))
+
+    def model(x):
+        acc = None
+        for i in range(4):
+            t = x.rotate(i) * hc.Plain(w[i])
+            acc = t if acc is None else acc + t
+        h = acc + 0.1
+        h = hc.bootstrap(h * h)
+        return h * hc.Plain(w[0])
+
+    trace_mod._module.reset()
+    fn_ir = hc.func("c")(model).eval()
+    cse(fn_ir); canonicalize(fn_ir)
+    payloads = elide_constants(fn_ir)
+    privatize_constants(fn_ir)
+    canonicalize(fn_ir)
+    prog = compile_function(fn_ir, "pars", 25)
+    ex = HEVMExecutor(s, prog, payloads)
+    ex.preprocess()
+    ex.set_profiling(True)
+    x = rng.uniform(-1, 1, n)
+    out = ex.run([x])[0]
+    golden = (sum(np.roll(x, -i) * w[i] for i in range(4)) + 0.1) ** 2 * w[0]
+    rms = float(np.sqrt(np.mean((np.asarray(out) - golden) ** 2)))
+    assert rms < 5e-2, rms
+    assert ex.seg_profile, "profiling records missing"
+    assert all(p["rss"] > 0 for p in ex.seg_profile)
