@@ -109,9 +109,12 @@ PROFILES = {
                           scale_bits=28, secret_h=192, native_bootstrap=True),
     # PARITY-class bootstrap-capable composite profile (insecure dev, like
     # tpu_n15): SEAL-regime rf=60/waterline-40 programs with enough chain
-    # for native (non-oracle) bootstrapping. 24 levels; the pipeline's ~16
-    # leave targets up to ~7.
-    "tpu_n15b": CKKSConfig(n=1 << 15, num_q=48, alpha=12, prime_bits=30,
+    # for native (non-oracle) bootstrapping. 30 levels total; the pipeline
+    # consumes exactly 15 (30 rows, radix-7 CtS/StC + deg-36 EvalMod), so
+    # the PROGRAM chain top — the reference's levelUpperBound, where every
+    # bootstrap lands (EarthOps.td processResultsEVA switchLevel(0)) — is
+    # level 14.
+    "tpu_n15b": CKKSConfig(n=1 << 15, num_q=60, alpha=15, prime_bits=30,
                            scale_bits=40, rescale_rows=2, secret_h=192,
                            native_bootstrap=True),
     # PARITY profile (insecure: logQP ~ 604 > 440): N=2^14-class traces
