@@ -132,6 +132,11 @@ PROFILES = {
     # insecure tiny composite-rescale profile (unit tests for rescale_rows=2)
     "test_n11c": CKKSConfig(n=1 << 11, num_q=16, alpha=4, prime_bits=30,
                             scale_bits=40, rescale_rows=2),
+    # insecure CPU error-budget sandbox: the flagship tpu_n15 regime
+    # (14x60-bit composite levels, waterline-40 programs) at N=2^12 so a
+    # full ResNet runs on CPU in minutes
+    "test_n12c": CKKSConfig(n=1 << 12, num_q=28, alpha=7, prime_bits=30,
+                            scale_bits=40, rescale_rows=2),
 }
 
 # crypto profile name -> compiler profile json (dacapo_tpu/profiles/)
@@ -145,6 +150,7 @@ COMPILER_PROFILES = {
     "test_n11": "profiled_TPU_test_n11",
     "test_boot": "profiled_TPU_test_boot",
     "test_n11c": "profiled_TPU_test_n11c",
+    "test_n12c": "profiled_TPU_test_n12c",
 }
 
 
