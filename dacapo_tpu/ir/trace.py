@@ -69,16 +69,24 @@ class Expr:
         raise Exception("Copying traced objects is forbidden")
 
     def __add__(self, other):
+        if isinstance(other, Empty):     # additive identity (MPCB padding)
+            return self
         return _emit("add", (self, resolve(other)))
 
     def __radd__(self, other):
+        if isinstance(other, Empty):
+            return self
         return _emit("add", (resolve(other), self))
 
     def __sub__(self, other):
+        if isinstance(other, Empty):
+            return self
         o = resolve(other)
         return _emit("add", (self, _emit("negate", (o,))))
 
     def __rsub__(self, other):
+        if isinstance(other, Empty):
+            return _emit("negate", (self,))
         o = resolve(other)
         return _emit("add", (o, _emit("negate", (self,))))
 

@@ -68,6 +68,24 @@ def main():
                                                 jnp.stack(gks)), cd)
         t_mul = t_op(lambda x, y: ev.mul_ct(x, y, nl, s.keys.rlk), cd, cd)
 
+        # permutation-application strategies: dynamic gather (current),
+        # static-constant gather, lane roll (the slot-orbit-layout target)
+        big = jnp.asarray(rng.integers(0, 1 << 30, (4, nl + alpha, ctx.n),
+                                       dtype=np.uint32))
+        perm1 = jnp.asarray(ctx.rot_perm(1), dtype=jnp.int32)
+        pc = np.asarray(ctx.rot_perm(1))
+
+        f_dyn = jax.jit(lambda x, p: x[..., p])
+        f_static = jax.jit(lambda x: x[..., jnp.asarray(pc)])
+        f_roll = jax.jit(lambda x: jnp.roll(x, 5, axis=-1))
+        t_dyn = t_op(f_dyn, big, perm1)
+        t_sta = t_op(f_static, big)
+        t_rol = t_op(f_roll, big)
+        gb = big.nbytes / 2 ** 30
+        log(f"nl={nl}: perm strategies on {gb:.2f} GiB/out: dyn-gather "
+            f"{t_dyn*1e3:.2f} ms | static-gather {t_sta*1e3:.2f} ms | "
+            f"roll {t_rol*1e3:.2f} ms")
+
         # traffic estimate for the bank: digits read K times? (gathers) +
         # keys K + masks K + acc writes
         dnum = ctx.config.dnum
