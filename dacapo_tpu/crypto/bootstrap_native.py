@@ -281,11 +281,11 @@ class NativeBootstrapper:
         out = {}
         if nz:
             self.s.ensure_galois(nz)
-            perms = jnp.asarray(
-                np.stack([self.s.ctx.rot_perm(st) for st in nz]), dtype=jnp.int32)
+            shifts = jnp.asarray([st % self.s.ctx.config.n_slots for st in nz],
+                                 dtype=jnp.int32)
             gks = jnp.stack([self.s.keys.galois[st % self.s.ctx.config.n_slots]
                              for st in nz])
-            res = self.ev.rotate_batch(data, nl, perms, gks)
+            res = self.ev.rotate_batch(data, nl, shifts, gks)
             for i, st in enumerate(nz):
                 out[st] = res[i]
         for st in steps:

@@ -176,8 +176,7 @@ class KeyGenerator:
 
         galois = GaloisStore()
         for st in rot_steps:
-            perm = ctx.rot_perm(st)
-            s_rot = s_ntt[:, jnp.asarray(perm, dtype=jnp.int32)]
+            s_rot = self.ev.automorphism(s_ntt, st % (ctx.n // 2))
             galois[st % (ctx.n // 2)] = self._ksk(s_ntt, s_rot)
 
         return KeySet(s_ntt=s_ntt, pk=pk, rlk=rlk, galois=galois)
@@ -194,16 +193,14 @@ class KeyGenerator:
         for st in rot_steps:
             st = st % (self.ctx.n // 2)
             if st not in keyset.galois and st != 0:
-                perm = self.ctx.rot_perm(st)
-                s_rot = keyset.s_ntt[:, jnp.asarray(perm, dtype=jnp.int32)]
+                s_rot = self.ev.automorphism(keyset.s_ntt, st)
                 keyset.galois[st] = self._ksk(keyset.s_ntt, s_rot)
         return keyset
 
     def ensure_conj(self, keyset: KeySet):
         """Generate the conjugation (X -> X^{-1}) key if missing."""
         if keyset.conj is None:
-            perm = self.ctx.conj_perm
-            s_conj = keyset.s_ntt[:, jnp.asarray(perm, dtype=jnp.int32)]
+            s_conj = self.ev.conj_apply(keyset.s_ntt)
             keyset.conj = self._ksk(keyset.s_ntt, s_conj)
         return keyset
 

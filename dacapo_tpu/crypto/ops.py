@@ -179,25 +179,35 @@ class Evaluator:
 
     # ---------------------------------------------------------------- NTT
     def _ntt(self, x, rows, pk, inverse=False):
-        """In-trace NTT/iNTT: x uint32 [B, N], tables gathered from `pk`."""
+        """In-trace NTT/iNTT: x uint32 [B, N], tables gathered from `pk`.
+
+        Device NTT-domain data lives in ORBIT ORDER (params.orbit_perm): the
+        fixed reorder is fused here as a STATIC gather on the kernel
+        boundary, so every rotation downstream is a roll."""
         rows = tuple(rows)
         idx = np.asarray(rows, dtype=np.int32)
+        if inverse:
+            x = x[..., self.ctx.orbit_inv]         # orbit -> kernel order
         if self._ntt_backend == "pallas":
             from .pallas.ntt_kernel import ntt_pallas
 
             key = "pitw" if inverse else "ptw"
-            return ntt_pallas(
+            out = ntt_pallas(
                 x, jnp.asarray(idx), pk[key], pk[key + "s"],
                 pk["q"][idx], pk["ninv"][idx], pk["ninv_shoup"][idx],
                 self.ctx.logn, inverse,
             )
-        q = pk["q"][idx][:, None]
-        if inverse:
-            return ntt_inv(
-                x, pk["itw"][idx], pk["itw_shoup"][idx], q,
+        elif inverse:
+            out = ntt_inv(
+                x, pk["itw"][idx], pk["itw_shoup"][idx], pk["q"][idx][:, None],
                 pk["ninv"][idx][:, None], pk["ninv_shoup"][idx][:, None],
             )
-        return ntt_fwd(x, pk["tw"][idx], pk["tw_shoup"][idx], q)
+        else:
+            out = ntt_fwd(x, pk["tw"][idx], pk["tw_shoup"][idx],
+                          pk["q"][idx][:, None])
+        if not inverse:
+            out = out[..., self.ctx.orbit_perm]    # kernel -> orbit order
+        return out
 
     def ntt(self, x, rows):
         rows = tuple(rows)
@@ -541,33 +551,52 @@ class Evaluator:
         ks0, ks1 = self._keyswitch(d2, nl, rlk, pk)
         return jnp.stack([add_mod(d0, ks0, q), add_mod(d1, ks1, q)])
 
-    def automorphism(self, planes, perm):
-        """Apply slot permutation (Galois automorphism in NTT domain)."""
-        return planes[..., jnp.asarray(perm, dtype=jnp.int32)]
+    def automorphism(self, planes, shift):
+        """Slot-rotation automorphism in the ORBIT layout: roll each half of
+        the lane axis by -shift (see params.CKKSContext.orbit_perm). `shift`
+        may be a traced scalar — XLA lowers the roll to two dynamic slices
+        at copy bandwidth, vs the arbitrary-gather path that ran ~2 orders
+        below roofline on TPU."""
+        s = self.ctx.n // 2
+        shp = planes.shape
+        v = planes.reshape(shp[:-1] + (2, s))
+        v = jnp.roll(v, -shift, axis=-1)
+        return v.reshape(shp)
+
+    def conj_apply(self, planes):
+        """Conjugation automorphism in the orbit layout: half swap."""
+        s = self.ctx.n // 2
+        shp = planes.shape
+        v = planes.reshape(shp[:-1] + (2, s))
+        return v[..., ::-1, :].reshape(shp)
 
     def rotate(self, ct, nl, steps: int, gk):
         """Left-rotate slots by `steps` using the galois key for that step.
 
-        The permutation table is an argument, so one compiled signature per
-        level serves every rotation offset."""
-        perm = jnp.asarray(self.ctx.rot_perm(steps), dtype=jnp.int32)
+        The shift rides as a traced scalar argument, so one compiled
+        signature per level serves every rotation offset."""
         return self._jit(
-            ("rotate", nl), lambda: lambda c, pm, k, p: self._rotate(c, nl, pm, k, p)
-        )(ct, perm, gk, self.pack())
+            ("rotate", nl), lambda: lambda c, sh, k, p: self._rotate(c, nl, sh, k, p)
+        )(ct, jnp.int32(steps % (self.ctx.n // 2)), gk, self.pack())
 
-    def _rotate(self, ct, nl, perm, gk, pk):
-        c0p = ct[0][..., perm]
-        c1p = ct[1][..., perm]
+    def _rotate(self, ct, nl, shift, gk, pk):
+        c0p = self.automorphism(ct[0], shift)
+        c1p = self.automorphism(ct[1], shift)
         ks0, ks1 = self._keyswitch(c1p, nl, gk, pk)
         q = self._pkq(pk, range(nl))
         return jnp.stack([add_mod(c0p, ks0, q), ks1])
 
     def conjugate(self, ct, nl, ck):
         """Complex-conjugate the slots (automorphism X -> X^{-1})."""
-        perm = jnp.asarray(self.ctx.conj_perm, dtype=jnp.int32)
-        return self._jit(
-            ("conj", nl), lambda: lambda c, pm, k, p: self._rotate(c, nl, pm, k, p)
-        )(ct, perm, ck, self.pack())
+        def make():
+            def f(c, k, p):
+                c0p = self.conj_apply(c[0])
+                c1p = self.conj_apply(c[1])
+                ks0, ks1 = self._keyswitch(c1p, nl, k, p)
+                q = self._pkq(p, range(nl))
+                return jnp.stack([add_mod(c0p, ks0, q), ks1])
+            return f
+        return self._jit(("conj", nl), make)(ct, ck, self.pack())
 
     # ------------------------------------------------- hoisted rotation bank
     # Bank sizes compiled for rotate_apply: a bank of K rotations dispatches
@@ -582,40 +611,40 @@ class Evaluator:
             ("modup", nl), lambda: lambda c, p: self._modup(c, nl, p)
         )(c_ntt, self.pack())
 
-    def rotate_apply(self, digits, c0, nl, perms, gks):
+    def rotate_apply(self, digits, c0, nl, shifts, gks):
         """Apply K rotations given hoisted ModUp digits of c1.
 
-        perms: int32 [K, N]; gks: uint32 [K, dnum, 2, num_all, N].
+        shifts: int32 [K] slot shifts; gks: uint32 [K, dnum, 2, num_all, N].
         Returns uint32 [K, 2, nl, N]. Jitted per (nl, K); callers chunk K
         into BANK_BUCKETS sizes.
         """
-        k = int(perms.shape[0])
+        k = int(shifts.shape[0])
         return self._jit(
             ("rotate_apply", nl, k),
-            lambda: lambda d, c, pm, g, p: self._rotate_apply(d, c, nl, pm, g, p),
-        )(digits, c0, perms, gks, self.pack())
+            lambda: lambda d, c, sh, g, p: self._rotate_apply(d, c, nl, sh, g, p),
+        )(digits, c0, shifts, gks, self.pack())
 
-    def _rotate_apply(self, digits, c0, nl, perms, gks, pk):
+    def _rotate_apply(self, digits, c0, nl, shifts, gks, pk):
         ctx = self.ctx
         lc = ctx.level(nl)
         sp_rows = [ctx.config.num_q + i for i in range(ctx.config.alpha)]
         q = self._pkq(pk, range(nl))
 
-        def one(perm, gk):
-            d = digits[..., perm]                # σ commutes with ModUp
+        def one(shift, gk):
+            d = self.automorphism(digits, shift)   # σ commutes with ModUp
             acc0, acc1 = self._ks_inner(d, nl, gk, pk)
             b, a = self._mod_down_pair(acc0, acc1, nl, lc, sp_rows, pk)
-            c0p = c0[..., perm]
+            c0p = self.automorphism(c0, shift)
             return jnp.stack([add_mod(c0p, b, q), a])
 
-        return jax.vmap(one)(perms, gks)
+        return jax.vmap(one)(shifts, gks)
 
     # ------------------------------------------------ fused conv bank (MAC)
     # chunk width trades launches against XLA program size (remote-compile
     # time grows superlinearly); override with DACAPO_TPU_MAC_BUCKET
     ROT_MAC_BUCKETS = _mac_buckets()
 
-    def rot_mac(self, ct, nl, perms, gks, pts, extras=(), fold_rescale_rows=0,
+    def rot_mac(self, ct, nl, shifts, gks, pts, extras=(), fold_rescale_rows=0,
                 extras_post=False, digits=None, plain_vals=(), plain_pts=()):
         """sum_k pts[k] * rot_{steps_k}(ct) (+ extras): the hoisted conv bank.
 
@@ -627,13 +656,13 @@ class Evaluator:
         conv hot loop (reference MPCB.py MultParConvBN) — with ceil(K/16)+1
         launches and 1/K of the ModDown work.
 
-        perms: int32 [K, N]; gks: list of K keys; pts: list of K uint32
-        [nl+alpha, N] planes (Q rows then special rows); extras: ciphertext
+        shifts: int32 [K] slot shifts; gks: list of K keys; pts: list of K
+        uint32 [nl+alpha, N] planes (Q rows then special rows); extras: ciphertext
         addends [2, nl, N] at the product's (level, scale). Returns
         [2, nl - fold_rescale_rows, N]. `digits`: precomputed hoisted ModUp
         of ct[1] (executor-shared across the groups of one conv bank)."""
         pk = self.pack()
-        k = int(perms.shape[0]) if perms is not None else 0
+        k = int(shifts.shape[0]) if shifts is not None else 0
         if digits is None and k:
             digits = self.modup(ct[1], nl)
         accs = None
@@ -642,7 +671,7 @@ class Evaluator:
             step = next(b for b in self.ROT_MAC_BUCKETS if b <= k - i)
             gk_c = jnp.stack([gks[j] for j in range(i, i + step)])
             pt_c = jnp.stack([pts[j] for j in range(i, i + step)])
-            pm_c = perms[i: i + step]
+            pm_c = shifts[i: i + step]
             if accs is None:
                 accs = self._jit(
                     ("rot_mac_chunk0", nl, step),
@@ -663,7 +692,7 @@ class Evaluator:
                 a, v, t, e, nl, fold_rescale_rows, extras_post, p),
         )(accs, list(plain_vals), list(plain_pts), list(extras), pk)
 
-    def _rot_mac_chunk(self, digits, c0, perms, gks, pts, nl, pk, accs=None):
+    def _rot_mac_chunk(self, digits, c0, shifts, gks, pts, nl, pk, accs=None):
         ctx = self.ctx
         alpha = ctx.config.alpha
         sp_rows = [ctx.config.num_q + i for i in range(alpha)]
@@ -671,14 +700,14 @@ class Evaluator:
         kqp = self._pkmm(pk, qp_rows)
         kq = self._pkmm(pk, range(nl))
 
-        def one(perm, gk, pt):
-            d = digits[..., perm]              # σ commutes with ModUp
+        def one(shift, gk, pt):
+            d = self.automorphism(digits, shift)   # σ commutes with ModUp
             a0, a1 = self._ks_inner(d, nl, gk, pk)
-            c0p = c0[..., perm]
+            c0p = self.automorphism(c0, shift)
             return (mul_mod(c0p, pt[:nl], *kq),
                     mul_mod(a0, pt, *kqp), mul_mod(a1, pt, *kqp))
 
-        tc, t0, t1 = jax.vmap(one)(perms, gks, pts)
+        tc, t0, t1 = jax.vmap(one)(shifts, gks, pts)
 
         def red(x, q):
             acc = x[0]
@@ -729,7 +758,7 @@ class Evaluator:
                 out = add_mod(out, e, q2)
         return out
 
-    def rotate_batch(self, ct, nl, perms, gks):
+    def rotate_batch(self, ct, nl, shifts, gks):
         """K rotations of ONE ciphertext with a single hoisted ModUp.
 
         Halevi-Shoup hoisting: the ModUp decomposition is coefficient-wise,
@@ -741,13 +770,13 @@ class Evaluator:
         Dispatches as bucket-sized rotate_apply chunks sharing one modup.
         Returns uint32 [K, 2, nl, N].
         """
-        k = int(perms.shape[0])
+        k = int(shifts.shape[0])
         digits = self.modup(ct[1], nl)
         outs = []
         i = 0
         while i < k:
             step = next(b for b in self.BANK_BUCKETS if b <= k - i)
             outs.append(self.rotate_apply(
-                digits, ct[0], nl, perms[i: i + step], gks[i: i + step]))
+                digits, ct[0], nl, shifts[i: i + step], gks[i: i + step]))
             i += step
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)

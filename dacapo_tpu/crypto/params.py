@@ -436,6 +436,37 @@ class CKKSContext:
     def galois_elt(self, steps: int) -> int:
         return pow(5, steps % (self.n // 2), 2 * self.n)
 
+    # ---------------------------------------------------- orbit layout
+    # Device NTT-domain planes are stored in ORBIT ORDER: position j holds
+    # the evaluation at psi^(5^j mod 2N) and position s+j at psi^(-5^j)
+    # (s = N/2 slots). In this layout the slot-rotation automorphism is a
+    # cyclic ROLL of each half by -steps and conjugation is a half swap —
+    # pure data movement at copy bandwidth, instead of the arbitrary
+    # dynamic gathers that dominated the conv superops on TPU (XLA lowers
+    # lane-axis gathers ~2 orders below roofline). The fixed reorder is
+    # applied once inside every forward/inverse NTT (ops.Evaluator._ntt),
+    # which the hoisted-ModUp structure already amortizes across all
+    # rotations of a bank.
+    @cached_property
+    def orbit_perm(self) -> np.ndarray:
+        """y_orbit = y_kernel[orbit_perm] (int32 [N])."""
+        two_n = 2 * self.n
+        s = self.n // 2
+        idx = np.empty(self.n, dtype=np.int32)
+        e = 1
+        for j in range(s):
+            idx[j] = self.exp_to_idx[e]
+            idx[s + j] = self.exp_to_idx[two_n - e]
+            e = (e * 5) % two_n
+        return idx
+
+    @cached_property
+    def orbit_inv(self) -> np.ndarray:
+        """y_kernel = y_orbit[orbit_inv]."""
+        inv = np.empty(self.n, dtype=np.int32)
+        inv[self.orbit_perm] = np.arange(self.n, dtype=np.int32)
+        return inv
+
     @cached_property
     def conj_perm(self) -> np.ndarray:
         """Conjugation automorphism X -> X^{-1} as an NTT-point permutation

@@ -85,8 +85,7 @@ class BatchedEvaluator:
 
         def one(a, b, pt, rlk, gk, pk):
             m = ev._mul_ct(a, b, nl, rlk, pk)
-            perm = jnp.asarray(self.s.ctx.rot_perm(rot_steps), dtype=jnp.int32)
-            r = ev._rotate(a, nl, perm, gk, pk)
+            r = ev._rotate(a, nl, jnp.int32(rot_steps), gk, pk)
             qq = ev._pkmm(pk, range(nl))
             r = jnp.stack([mul_mod(r[0], pt, *qq), mul_mod(r[1], pt, *qq)])
             x = add_mod(m, r, qq[0])

@@ -90,7 +90,9 @@ class HEVM:
         have = os.path.exists(os.path.join(d, "s_ntt.npy")) or (
             self.mode == "server" and os.path.exists(os.path.join(d, "rlk.npy")))
         fp_path = os.path.join(d, "params.json")
-        fingerprint = repr(sorted(self.scheme.ctx.primes))
+        # "orbit-v1": NTT planes stored in orbit order (params.orbit_perm) —
+        # keysets from the gather-layout era decrypt garbage and must regen
+        fingerprint = "orbit-v1:" + repr(sorted(self.scheme.ctx.primes))
         if have:
             # stale keysets (profile parameters changed) must not be reused
             try:

@@ -53,7 +53,7 @@ class HEVMExecutor:
         self._pt_budget = None
         self._streaming = False
         self._compiled = None
-        self._bank_perm_cache = {}   # tuple(steps) -> int32 perms [K, N]
+        self._bank_perm_cache = {}   # tuple(steps) -> int32 shifts [K]
         self.debug = False           # per-op (nl, scale) trace (VM setDebug)
         self._set_memory_budgets()
         self._prepare_keys()
@@ -310,13 +310,13 @@ class HEVMExecutor:
             entries = bank["entries"]
             nl = bank["nl"]
             steps = tuple(st for _, st in entries)
-            perms = getperm(steps)
+            shifts = getperm(steps)
             # gks restacked per flush: a cached stack would hold an extra COPY
             # of every member key per distinct bank (OOM at 200+ keys); the
             # device-side restack is bandwidth-cheap and lets the GaloisStore
             # LRU own key residency.
             gks = jnp.stack([getgk(st) for st in steps])
-            out = ev.rotate_batch(bank["src"], nl, perms, gks)
+            out = ev.rotate_batch(bank["src"], nl, shifts, gks)
             for k, (dst, _) in enumerate(entries):
                 ciphers[dst] = out[k]
                 del bank_of_dst[dst]
@@ -367,11 +367,11 @@ class HEVMExecutor:
                 extras = [materialize(r) for r in op.extra]
                 pvals = [materialize(r) for r in op.plain_vals]
                 ppts = [getplain(r, nl) for r in op.plain_pts]
-                src = digits = perms = None
+                src = digits = shifts = None
                 gks, pts = [], []
                 if op.src >= 0:
                     src = materialize(op.src)
-                    perms = getperm(tuple(op.steps))
+                    shifts = getperm(tuple(op.steps))
                     gks = [getgk(st) for st in op.steps]
                     pts = [self._plain_rows_qp(getplain(r, None), r, nl)
                            for r in op.pt_regs]
@@ -389,7 +389,7 @@ class HEVMExecutor:
                             dig_cache.pop(next(iter(dig_cache)))
                         dig_cache[dkey] = (src, digits)
                 rs = self.rr if (op.fold_rescale or op.taps_rescaled) else 0
-                out = ev.rot_mac(src, nl, perms, gks, pts, extras,
+                out = ev.rot_mac(src, nl, shifts, gks, pts, extras,
                                  fold_rescale_rows=rs,
                                  extras_post=op.taps_rescaled, digits=digits,
                                  plain_vals=pvals, plain_pts=ppts)
@@ -490,13 +490,11 @@ class HEVMExecutor:
         return [materialize(r) for r in out_regs]
 
     def _getperm_eager(self, steps):
-        perms = self._bank_perm_cache.get(steps)
-        if perms is None:
-            perms = self._bank_perm_cache[steps] = jnp.asarray(
-                np.stack([self.s.ctx.rot_perm(st) for st in steps]),
-                dtype=jnp.int32,
-            )
-        return perms
+        shifts = self._bank_perm_cache.get(steps)
+        if shifts is None:
+            shifts = self._bank_perm_cache[steps] = jnp.asarray(
+                steps, dtype=jnp.int32)
+        return shifts
 
     def _run_trace(self, arg_cts, plains):
         """Full-program interpretation (eager per-op dispatch, or traced as
@@ -800,12 +798,7 @@ class HEVMExecutor:
             self._plain_prefetch(info["plain_regs"])
             plains_l = [self._plain(self.plains, r, None) for r in info["plain_regs"]]
             gks_l = [self.s.keys.galois[st] for st in info["rot_steps"]]
-            if info["rot_steps"]:
-                perms_arr = jnp.asarray(np.stack(
-                    [self.s.ctx.rot_perm(st) for st in info["rot_steps"]]),
-                    dtype=jnp.int32)
-            else:
-                perms_arr = jnp.zeros((0, self.s.ctx.n), dtype=jnp.int32)
+            perms_arr = jnp.asarray(info["rot_steps"], dtype=jnp.int32)
             out_cts = fn(in_cts, plains_l, gks_l, perms_arr, rlk, pk)
             # host-side metadata walk for the window
             for op in info["ops"]:
@@ -934,12 +927,7 @@ class HEVMExecutor:
             plains_l = [put_rep(self._plain(self.plains, r, None))
                         for r in info["plain_regs"]]
             gks_l = [put_key(self.s.keys.galois[st]) for st in info["rot_steps"]]
-            if info["rot_steps"]:
-                perms_arr = put_rep(jnp.asarray(np.stack(
-                    [self.s.ctx.rot_perm(st) for st in info["rot_steps"]]),
-                    dtype=jnp.int32))
-            else:
-                perms_arr = put_rep(jnp.zeros((0, self.s.ctx.n), dtype=jnp.int32))
+            perms_arr = put_rep(jnp.asarray(info["rot_steps"], dtype=jnp.int32))
             out_cts = fn(in_cts, plains_l, gks_l, perms_arr, rlk, pk)
             for op in info["ops"]:
                 self._meta_step(op, meta)

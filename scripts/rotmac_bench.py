@@ -51,8 +51,7 @@ def main():
         if nl > ctx.config.num_q:
             continue
         cd = ct.data[:, :nl, :]
-        perms = jnp.asarray(np.stack([ctx.rot_perm(st) for st in steps]),
-                            dtype=jnp.int32)
+        perms = jnp.asarray(steps, dtype=jnp.int32)   # slot shifts (orbit layout)
         gks = [s.keys.galois[st] for st in steps]
         sp = [ctx.config.num_q + i for i in range(alpha)]
         pts = [jnp.asarray(rng.integers(0, 1 << 30, (nl + alpha, ctx.n),
@@ -72,8 +71,8 @@ def main():
         # static-constant gather, lane roll (the slot-orbit-layout target)
         big = jnp.asarray(rng.integers(0, 1 << 30, (4, nl + alpha, ctx.n),
                                        dtype=np.uint32))
-        perm1 = jnp.asarray(ctx.rot_perm(1), dtype=jnp.int32)
-        pc = np.asarray(ctx.rot_perm(1))
+        perm1 = jnp.asarray(np.random.default_rng(0).permutation(ctx.n), dtype=jnp.int32)
+        pc = np.asarray(perm1)
 
         f_dyn = jax.jit(lambda x, p: x[..., p])
         f_static = jax.jit(lambda x: x[..., jnp.asarray(pc)])

@@ -47,7 +47,7 @@ def main():
         # rotation banks: modup + each bucket size
         digits = ev.modup(ad[1], nl)
         for bk in ev.BANK_BUCKETS:
-            perms = np.stack([s.ctx.rot_perm(st % (n) or 1)
+            perms = np.stack([np.full(1, st % (n) or 1)  # legacy-unused
                               for st in range(1, bk + 1)])
             import jax.numpy as jnp
             gks = jnp.stack([gk if i % 2 == 0 else gk2 for i in range(bk)])

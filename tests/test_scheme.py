@@ -110,10 +110,9 @@ def test_rotate_batch_hoisted(sch):
     v = _vals(sch, 7)
     ct = sch.encrypt(v)
     steps = [1, 3, 17]
-    perms = jnp.asarray(np.stack([sch.ctx.rot_perm(st) for st in steps]),
-                        dtype=jnp.int32)
+    shifts = jnp.asarray(steps, dtype=jnp.int32)
     gks = jnp.stack([sch.keys.galois[st] for st in steps])
-    out = sch.ev.rotate_batch(ct.data, ct.nl, perms, gks)
+    out = sch.ev.rotate_batch(ct.data, ct.nl, shifts, gks)
     for k, st in enumerate(steps):
         got = sch.decrypt(Ciphertext(out[k], ct.scale))
         want = np.roll(v, -st)
