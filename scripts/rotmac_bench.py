@@ -76,14 +76,19 @@ def main():
 
         f_dyn = jax.jit(lambda x, p: x[..., p])
         f_static = jax.jit(lambda x: x[..., jnp.asarray(pc)])
-        f_roll = jax.jit(lambda x: jnp.roll(x, 5, axis=-1))
+        f_roll = jax.jit(lambda x: jnp.roll(x, 5, axis=-1))          # static shift
+        f_rolld = jax.jit(lambda x, sh: jnp.roll(x, sh, axis=-1))    # traced shift
+        orb = jax.jit(lambda x, sh: ev.automorphism(x, sh))          # orbit roll
         t_dyn = t_op(f_dyn, big, perm1)
         t_sta = t_op(f_static, big)
         t_rol = t_op(f_roll, big)
+        t_rld = t_op(f_rolld, big, jnp.int32(5))
+        t_orb = t_op(orb, big, jnp.int32(5))
         gb = big.nbytes / 2 ** 30
         log(f"nl={nl}: perm strategies on {gb:.2f} GiB/out: dyn-gather "
             f"{t_dyn*1e3:.2f} ms | static-gather {t_sta*1e3:.2f} ms | "
-            f"roll {t_rol*1e3:.2f} ms")
+            f"roll-static {t_rol*1e3:.2f} ms | roll-traced {t_rld*1e3:.2f} ms"
+            f" | orbit-automorphism {t_orb*1e3:.2f} ms")
 
         # traffic estimate for the bank: digits read K times? (gathers) +
         # keys K + masks K + acc writes
