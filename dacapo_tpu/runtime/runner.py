@@ -132,6 +132,19 @@ class HEVM:
         if getattr(self, "_debug", False):
             self.executor.setDebug(True)
         self.executor.preprocess()
+        if (os.environ.get("DACAPO_TPU_PRECOMPILE", "1") != "0"
+                and self.jit in ("auto", "segment")):
+            # parallel ahead-of-run compilation of all segment windows
+            # (serial tracing, threaded XLA compiles -> persistent cache)
+            import sys as _sys
+            import time as _time
+            try:
+                t0 = _time.time()
+                k = self.executor.precompile_segments()
+                print(f"[load] precompiled {k} segment structs in "
+                      f"{_time.time() - t0:.1f}s", file=_sys.stderr, flush=True)
+            except Exception as e:   # best-effort: lazy path still works
+                print(f"[load] precompile skipped: {e!r}", file=_sys.stderr)
         if self.mode == "full":
             # persist any newly generated galois keys for next runs
             # (incremental: existing key files are never re-downloaded/rewritten)
