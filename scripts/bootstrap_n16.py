@@ -27,8 +27,16 @@ t0 = time.time(); s.generate_keys(); log(f"keygen: {time.time()-t0:.1f}s")
 # keys (the ~90 CtS/StC rotation keys at 56 QP rows would exceed HBM)
 s.set_key_budget(7 << 30)
 t0 = time.time()
-bs = s.enable_native_bootstrap(BootstrapConfig(K=16, r=3, degree=30, baby=8))
-log(f"bootstrapper init: {time.time()-t0:.1f}s")
+# radix must match the profile's chain budget (runner.py auto-config): the
+# n15b/n16 chains are sized for radix-7 CtS/StC at 2^14+ slots — radix 5
+# adds two transform levels and overruns the budget ("consumed too many
+# levels" at target 14)
+radix = 7 if s.ctx.config.n_slots >= (1 << 14) else 5
+# defaults otherwise (K=16, r=3, degree=36, baby=8): the exact config the
+# runner auto-builds, so this standalone's compiles land in the persistent
+# cache the flagship's native-bootstrap path then hits
+bs = s.enable_native_bootstrap(BootstrapConfig(radix=radix))
+log(f"bootstrapper init: {time.time()-t0:.1f}s (radix={radix})")
 
 n = s.ctx.config.n_slots
 rng = np.random.default_rng(3)
