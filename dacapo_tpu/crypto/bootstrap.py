@@ -14,6 +14,25 @@ Two implementations, mirroring the reference's runtime split:
 import numpy as np
 import jax.numpy as jnp
 
+# Headroom for the exact integer lift: polynomial COEFFICIENTS of the raw
+# message (~scale * slot-bound) must stay below the lift base q0*q1/2. The
+# reference's oracle decodes to floats so any scale works
+# (SEAL_HEVM.cpp:324-334); the device-resident oracle lifts raw ints, so
+# inputs that arrive hot (zero-depth boundaries leave them at up to
+# Delta~2^60 ~ q0*q1) are first cooled by exact single-row rescales.
+_LIFT_VMAX_BITS = 13
+
+
+def _cool_input(s, data, nl, scale, limit_log2):
+    """Rescale single RNS rows (exact division) until log2(scale) +
+    _LIFT_VMAX_BITS <= limit_log2. Returns (data, nl, scale)."""
+    data = jnp.asarray(data)[:, :nl, :]
+    while nl > 2 and np.log2(scale) + _LIFT_VMAX_BITS > limit_log2:
+        data = s.ev.rescale_k(data, nl, 1)
+        scale /= float(s.ctx.q_primes[nl - 1])
+        nl -= 1
+    return data, nl, scale
+
 
 class EmulatedBootstrapper:
     def __init__(self, scheme):
@@ -35,6 +54,8 @@ class EmulatedBootstrapper:
         s = self.s
         ctx = s.ctx
         nl2 = (target_level + 1) * ctx.config.rescale_rows
+        limit = np.log2(float(ctx.q_primes[0]) * float(ctx.q_primes[1])) - 1
+        data, nl, scale = _cool_input(s, data, nl, scale, limit)
         nb = 2 if nl >= 2 else 1                       # base rows for the lift
         rows = list(range(nb))
         qq = s.ev._mm_consts(rows)
@@ -69,7 +90,15 @@ class EmulatedBootstrapper:
         data = jnp.asarray(data)
         B = int(data.shape[0])
         nl2 = (target_level + 1) * ctx.config.rescale_rows
-        nb = 2 if nl >= 2 else 1
+        limit = np.log2(float(ctx.q_primes[0]) * float(ctx.q_primes[1])) - 1
+        if nl > 2 and np.log2(scale) + _LIFT_VMAX_BITS > limit:
+            # cool rows batch-wise (vmap over the batch of ciphertexts)
+            while nl > 2 and np.log2(scale) + _LIFT_VMAX_BITS > limit:
+                import jax
+                data = jax.vmap(lambda d: s.ev.rescale_k(d, nl, 1))(
+                    data[:, :, :nl, :])
+                scale /= float(ctx.q_primes[nl - 1])
+                nl -= 1
         rows = list(range(nb))
         qq = s.ev._mm_consts(rows)
         m_ntt = add_mod(data[:, 0, :nb], mul_mod(data[:, 1, :nb],

@@ -502,8 +502,17 @@ class NativeBootstrapper:
                 "native bootstrap needs the bottom prime pair (nl >= 2); "
                 "the planner must not drop bootstrap operands below level "
                 f"{2 // ctx.config.rescale_rows}")
-        base = data[:, :2, :]
         q0p = float(ctx.q_primes[0]) * float(ctx.q_primes[1])
+        # Inputs that arrive hot (zero-depth boundaries: delta up to ~q0')
+        # are cooled by exact single-row rescales until delta fits the
+        # EvalMod geometry delta' <= q0' * 2^-GAP_BITS; the existing
+        # up_bits pre-upscale then re-heats small scales exactly.
+        data = jnp.asarray(data)[:, :nl, :]
+        while nl > 2 and np.log2(delta) > np.log2(q0p) - self.GAP_BITS:
+            data = self.ev.rescale_k(data, nl, 1)
+            delta /= float(ctx.q_primes[nl - 1])
+            nl -= 1
+        base = data[:, :2, :]
         up_bits = max(0, int(round(np.log2(q0p) - self.GAP_BITS
                                    - np.log2(delta))))
         if up_bits:
