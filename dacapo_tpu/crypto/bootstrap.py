@@ -25,13 +25,35 @@ _LIFT_VMAX_BITS = 13
 
 def _cool_input(s, data, nl, scale, limit_log2):
     """Rescale single RNS rows (exact division) until log2(scale) +
-    _LIFT_VMAX_BITS <= limit_log2. Returns (data, nl, scale)."""
+    _LIFT_VMAX_BITS <= limit_log2. Returns (data, nl, scale, K) where K is
+    the exact integer product of the dropped primes (1 if none)."""
     data = jnp.asarray(data)[:, :nl, :]
+    K = 1
     while nl > 2 and np.log2(scale) + _LIFT_VMAX_BITS > limit_log2:
         data = s.ev.rescale_k(data, nl, 1)
+        K *= int(s.ctx.q_primes[nl - 1])
         scale /= float(s.ctx.q_primes[nl - 1])
         nl -= 1
-    return data, nl, scale
+    return data, nl, scale, K
+
+
+def _reheat(ctx, lifted, num_rows, K):
+    """Multiply lifted coefficient planes [..., num_rows, N] by the exact
+    integer K (mod each prime) — restores the pre-cooling scale so the
+    oracle is scale-preserving like the reference SEAL oracle
+    (SEAL_HEVM.cpp:324-334 re-encodes at the input scale) and like the
+    executor's _meta_step OP_BOOTSTRAP prediction."""
+    from .modmath import mul_mod_shoup, host_shoup
+    qs = [int(ctx.q_primes[i]) for i in range(num_rows)]
+    # exactness: |K * centered| < prod(qs)/2 (message stayed under q0*q1/2)
+    assert np.log2(float(K)) + np.log2(float(qs[0])) + np.log2(float(qs[1])) \
+        < sum(np.log2(float(q)) for q in qs), \
+        "reheat would overflow the target chain modulus"
+    km = jnp.asarray(np.array([K % q for q in qs], np.uint32))[:, None]
+    ksh = jnp.asarray(np.array([host_shoup(K % q, q) for q in qs],
+                               np.uint32))[:, None]
+    qr = jnp.asarray(np.array(qs, np.uint32))[:, None]
+    return mul_mod_shoup(lifted, km, ksh, qr)
 
 
 class EmulatedBootstrapper:
@@ -55,7 +77,8 @@ class EmulatedBootstrapper:
         ctx = s.ctx
         nl2 = (target_level + 1) * ctx.config.rescale_rows
         limit = np.log2(float(ctx.q_primes[0]) * float(ctx.q_primes[1])) - 1
-        data, nl, scale = _cool_input(s, data, nl, scale, limit)
+        orig_scale = scale
+        data, nl, scale, K = _cool_input(s, data, nl, scale, limit)
         nb = 2 if nl >= 2 else 1                       # base rows for the lift
         rows = list(range(nb))
         qq = s.ev._mm_consts(rows)
@@ -66,6 +89,9 @@ class EmulatedBootstrapper:
             lifted = pair_crt_expand(ctx, c[0], c[1], nl2)
         else:
             lifted = single_crt_expand(ctx, c[0], nl2)
+        if K != 1:
+            lifted = _reheat(ctx, lifted, nl2, K)
+            scale = orig_scale
         m2 = s.ev.ntt(lifted, list(range(nl2)))
 
         # fresh encryption of m2 (host RNG for v/e, device NTT — ~N ints)
@@ -91,14 +117,18 @@ class EmulatedBootstrapper:
         B = int(data.shape[0])
         nl2 = (target_level + 1) * ctx.config.rescale_rows
         limit = np.log2(float(ctx.q_primes[0]) * float(ctx.q_primes[1])) - 1
+        orig_scale = scale
+        K = 1
         if nl > 2 and np.log2(scale) + _LIFT_VMAX_BITS > limit:
             # cool rows batch-wise (vmap over the batch of ciphertexts)
             while nl > 2 and np.log2(scale) + _LIFT_VMAX_BITS > limit:
                 import jax
                 data = jax.vmap(lambda d: s.ev.rescale_k(d, nl, 1))(
                     data[:, :, :nl, :])
+                K *= int(ctx.q_primes[nl - 1])
                 scale /= float(ctx.q_primes[nl - 1])
                 nl -= 1
+        nb = 2 if nl >= 2 else 1                       # base rows for the lift
         rows = list(range(nb))
         qq = s.ev._mm_consts(rows)
         m_ntt = add_mod(data[:, 0, :nb], mul_mod(data[:, 1, :nb],
@@ -110,6 +140,9 @@ class EmulatedBootstrapper:
             lifted = pair_crt_expand(ctx, c[:, 0], c[:, 1], nl2)
         else:
             lifted = single_crt_expand(ctx, c[:, 0], nl2)
+        if K != 1:
+            lifted = _reheat(ctx, lifted, nl2, K)
+            scale = orig_scale
         m2 = s.ev.ntt(lifted.reshape(B * nl2, ctx.n),
                       list(range(nl2)) * B).reshape(B, nl2, ctx.n)
 

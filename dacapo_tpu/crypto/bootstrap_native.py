@@ -508,10 +508,20 @@ class NativeBootstrapper:
         # EvalMod geometry delta' <= q0' * 2^-GAP_BITS; the existing
         # up_bits pre-upscale then re-heats small scales exactly.
         data = jnp.asarray(data)[:, :nl, :]
+        scale_orig = delta
         while nl > 2 and np.log2(delta) > np.log2(q0p) - self.GAP_BITS:
             data = self.ev.rescale_k(data, nl, 1)
             delta /= float(ctx.q_primes[nl - 1])
             nl -= 1
+        if np.log2(delta) > np.log2(q0p) - self.GAP_BITS:
+            # nl hit the bottom pair while still hot: the EvalMod geometry
+            # bound is violated and the result would be silently wrong —
+            # surface the planner bug instead (ADVICE r4 #3)
+            raise ValueError(
+                f"bootstrap input still hot after cooling: log2(delta)="
+                f"{np.log2(delta):.1f} > {np.log2(q0p) - self.GAP_BITS:.1f}; "
+                "the planner let a bootstrap operand reach the bottom pair "
+                "above the EvalMod geometry bound")
         base = data[:, :2, :]
         up_bits = max(0, int(round(np.log2(q0p) - self.GAP_BITS
                                    - np.log2(delta))))
@@ -560,18 +570,22 @@ class NativeBootstrapper:
         # SlotToCoeff with the repack folded into its first level:
         # A(v_re + i*v_im) = A1...(Afirst v_re + Afirst_i v_im) — the i rides
         # the duplicated first level's diagonals, zero extra depth.
-        target0 = v_re.scale
+        #
+        # The StC target scale is chosen so the DECLARED output scale lands
+        # exactly back on the input scale (pre-cooling): the Earth IR types
+        # bootstrap as scale-preserving (ir/earth.py infer_type "bootstrap")
+        # and the executor's _meta_step predicts the same, so segment
+        # closures precompiled from the metadata walk stay faithful. The
+        # out value is z*(delta/q0); forcing out.scale = scale_orig*q0/delta
+        # makes ints = z*scale_orig.
+        target0 = scale_orig * q0 / delta
         out = stc_first[0].apply(v_re, target0).add(
             stc_first[1].apply(v_im, target0))
         for t in stc_rest:
             out = t.apply(out, target0)
 
-        # out value = z_orig * (delta/q0)... declare true scale:
-        # underlying ints = out.scale * value = out.scale*(delta/q0)*z  ->
-        # declared scale = out.scale * delta / q0 makes decrypt return z.
-        final_scale = out.scale * delta / q0
         nl2 = (target_level + 1) * ctx.config.rescale_rows
         assert out.nl >= nl2, (
             f"bootstrap consumed too many levels: have {out.nl}, need {nl2}")
         res = out.data[:, :nl2, :]
-        return res, (nl2, final_scale)
+        return res, (nl2, scale_orig)

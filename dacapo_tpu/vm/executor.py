@@ -1042,6 +1042,15 @@ class HEVMExecutor:
             meta[op.dst] = (meta[op.lhs][0],
                             meta[op.lhs][1] * self.plain_meta[op.rhs][1])
         elif oc == OP_BOOTSTRAP:
+            # Contract: BOTH runtime bootstrappers are scale-preserving
+            # (emulated: reheat after the cooled CRT lift, bootstrap.py;
+            # native: StC target scale forced to scale_orig*q0/delta,
+            # bootstrap_native.py) — matching the Earth IR type rule
+            # (ir/earth.py infer_type "bootstrap" switches level only).
+            # precompile_segments walks the program with THIS rule before
+            # any run, and _seg_struct_key excludes scales, so the baked
+            # meta0 in precompiled closures is only faithful while the
+            # runtime return agrees with this prediction.
             nl, sc = meta[op.lhs]
             meta[op.dst] = ((op.rhs + 1) * self.rr, sc)
 

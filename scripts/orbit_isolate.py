@@ -42,8 +42,20 @@ for st in steps:
     report(f"rotate({st})", rms(s.decrypt(Ciphertext(out, ct.scale)),
                                 np.roll(v, -st)))
 
+# Representative scales: the planner (PARS/waterline) keeps every
+# post-rescale scale >= 2^waterline, upscaling operands so products land at
+# ~2^(waterline + rf). Encoding the plaintext/ct at 2^(rf+waterline) - 2^40
+# = 2^60 + pairing with the 2^40 ciphertext reproduces that: the product sits
+# at 2^100, the composite rescale (~2^60) drops it to ~2^40 — where the fixed
+# rescale-rounding noise sqrt((h+1)/12)*sqrt(N) (~7.7e3 abs for the dense
+# ternary secret at N=2^15) is ~7e-9 relative. The r4 probe used delta=2^40
+# on BOTH operands, landing at scale 2^20 where that same absolute noise is
+# 5e-3 relative: the "FAIL mul+rescale" in _logs/orbit_isolate_r4.log was
+# expected CKKS noise at an unrepresentative scale, not an arithmetic bug.
+rf_bits = 30 * rr                       # composite rescale span (~2^60)
+hi = 2.0 ** (40 + rf_bits - 40)         # operand scale so product lands ~2^40
 w = rng.uniform(-1, 1, n)
-pt = s.encode(w, scale=delta, nl=nl)
+pt = s.encode(w, scale=hi, nl=nl)
 out = ev.mul_pt(ct.data, pt.data, nl)
 out = ev.rescale_k(out, nl, rr)
 sc2 = ct.scale * pt.scale
@@ -52,7 +64,7 @@ for k in range(rr):
 report("mul_pt+rescale", rms(s.decrypt(Ciphertext(out, sc2)), v * w))
 
 w2 = rng.uniform(-1, 1, n)
-ct2 = s.encrypt(w2, scale=delta)
+ct2 = s.encrypt(w2, scale=hi)
 out = ev.mul_ct(ct.data, ct2.data, nl, s.keys.rlk)
 out = ev.rescale_k(out, nl, rr)
 sc2 = ct.scale * ct2.scale

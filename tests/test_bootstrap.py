@@ -105,3 +105,40 @@ def test_device_oracle_batch_matches_single():
         got1 = s.decrypt(Ciphertext(single, sc1))
         rms1 = float(np.sqrt(np.mean((got1 - v) ** 2)))
         assert rms1 < 5e-4, (i, rms1)
+
+
+def test_device_oracle_hot_input_scale_preserving():
+    """Flagship r4 regression: the planner normalizes every bootstrap input
+    to scale 2^rf (~2^60 on composite profiles, passes/scale.py "bootstrap"
+    hook), which always triggers the oracle's cooling rescales. The oracle
+    must REHEAT after the CRT lift and return the ORIGINAL scale —
+    scale-preserving, like the reference SEAL oracle re-encoding at the
+    input scale (SEAL_HEVM.cpp:324-334) and like _meta_step's OP_BOOTSTRAP
+    prediction (vm/executor.py) — or every precompiled segment downstream
+    decodes with a scale off by the cooled factor (~2^30): exactly the
+    rms-1.0-at-first-bootstrap collapse in _logs/window_probe_r4.log."""
+    from dacapo_tpu.crypto.bootstrap import EmulatedBootstrapper
+
+    s = Scheme("test_n11c")
+    s.generate_keys()
+    bs = EmulatedBootstrapper(s)
+    n = s.ctx.config.n_slots
+    rng = np.random.default_rng(11)
+    vals = rng.uniform(-1, 1, (2, n))
+    hot = 2.0 ** 60                       # = 2^rf, the planner-normal scale
+    nl_in = 6                             # mid-chain, room to cool
+    cts = np.stack([np.asarray(s.encrypt(v, scale=hot, nl=nl_in).data)
+                    for v in vals])
+
+    target = 5
+    out_b, (nl2, sc) = bs.bootstrap_batch(cts, nl_in, hot, target)
+    assert sc == hot, (sc, hot)           # exact scale preservation
+    assert nl2 == (target + 1) * s.ctx.config.rescale_rows
+    for i, v in enumerate(vals):
+        got = s.decrypt(Ciphertext(out_b[i], sc))
+        rms = float(np.sqrt(np.mean((got - v) ** 2)))
+        assert rms < 5e-4, (i, rms)
+    single, (nl1, sc1) = bs.bootstrap(cts[0], nl_in, hot, target)
+    assert sc1 == hot and nl1 == nl2
+    got1 = s.decrypt(Ciphertext(single, sc1))
+    assert float(np.sqrt(np.mean((got1 - vals[0]) ** 2))) < 5e-4
