@@ -192,16 +192,22 @@ class Encoder:
         nl <= 2 uses vectorized Garner in int64 (q0*q1 < 2^62 for 30-bit
         primes) — the hot path for decrypt/bootstrap-emulation, since
         refine_return_values pins outputs and bootstrap operands to the
-        bottom of the chain. Larger nl falls back to exact object ints.
+        bottom of the chain. Larger nl runs a vectorized GARNER mixed-radix
+        reconstruction in int64 (O(nl^2) Horner passes) and combines digits
+        in float64: exact digits, then a small-to-large float sum whose
+        precision equals float64's on the value itself (top digits of a
+        centered small value are all zero / all q_k-1, so no cancellation).
+        Replaces the python-object-int path that took MINUTES per decrypt
+        at nl=28 (probes/getOutput at high levels).
         """
         nl = planes.shape[0]
-        primes = self.ctx.q_primes[:nl]
+        primes = [int(q) for q in self.ctx.q_primes[:nl]]
         if nl == 1:
             q0 = np.int64(primes[0])
             v = planes[0].astype(np.int64)
             return np.where(v > q0 // 2, v - q0, v).astype(np.float64)
         if nl == 2 and primes[0].bit_length() + primes[1].bit_length() <= 61:
-            q0, q1 = (int(primes[0]), int(primes[1]))
+            q0, q1 = primes
             inv = pow(q0, -1, q1)
             r0 = planes[0].astype(np.int64)
             r1 = planes[1].astype(np.int64)
@@ -209,14 +215,34 @@ class Encoder:
             v = r0 + np.int64(q0) * t                 # < q0*q1 < 2^61
             bigq = q0 * q1
             return np.where(v > bigq // 2, v - bigq, v).astype(np.float64)
-        bigq = 1
-        for q in primes:
-            bigq *= q
-        acc = np.zeros(self.n, dtype=object)
-        for i, q in enumerate(primes):
-            qh = bigq // q
-            c = qh * pow(qh % q, -1, q)
-            acc += planes[i].astype(object) * c
-        acc %= bigq
-        centered = np.where(acc > bigq // 2, acc - bigq, acc)
-        return np.array([float(x) for x in centered], dtype=np.float64)
+        # Garner digits: v = a0 + q0*(a1 + q1*(a2 + ...)), a_k < q_k
+        x = planes.astype(np.int64)
+        digits = np.empty((nl, planes.shape[-1]), dtype=np.int64)
+        digits[0] = x[0] % primes[0]
+        for k in range(1, nl):
+            qk = primes[k]
+            acc = digits[k - 1] % qk
+            for j in range(k - 2, -1, -1):            # Horner: v mod qk
+                acc = (acc * (primes[j] % qk) + digits[j]) % qk
+            inv = 1
+            for j in range(k):
+                inv = inv * pow(primes[j], -1, qk) % qk
+            digits[k] = (x[k] - acc) % qk * inv % qk
+        # sign from the float estimate, then a cancellation-free combine:
+        # negative values use the mixed-radix complement Q - v (digits
+        # q_k-1-a_k, +1), so each branch sums ONLY small-magnitude terms.
+        val = np.zeros(planes.shape[-1])
+        w = 1.0
+        for k in range(nl):
+            val += digits[k].astype(np.float64) * w
+            w *= float(primes[k])
+        bigq = w
+        neg = val > bigq / 2
+        if np.any(neg):
+            comp = np.zeros(planes.shape[-1])
+            w = 1.0
+            for k in range(nl):
+                comp += (primes[k] - 1 - digits[k]).astype(np.float64) * w
+                w *= float(primes[k])
+            val = np.where(neg, -(comp + 1.0), val)
+        return val

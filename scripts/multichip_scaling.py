@@ -1,0 +1,169 @@
+"""Multi-chip scaling evidence (BASELINE.md "ops/s scaling" ask).
+
+Real multi-chip hardware is not available in this environment (ONE tunneled
+v5e chip); what CAN be measured honestly:
+
+  cpu  — virtual 8-device CPU mesh: correctness of the batched encrypted
+         step at every (dp, mp) factorization of 1/2/4/8 devices, plus a
+         COLLECTIVE-TRAFFIC audit of the GSPMD-partitioned HLO: which
+         collectives XLA inserted, and how many bytes each moves per step.
+         This validates the sharding design (keyswitch stays limb-local,
+         key bytes never cross ICI) without claiming wall-clock scaling on
+         2 shared host cores.
+  tpu  — single-chip throughput vs ciphertext batch size (the dp=1 column
+         of the scaling table; dp scaling is embarrassingly parallel over
+         batches so chip-count projection = batch-throughput x chips, with
+         zero cross-chip traffic by construction — see parallel/mesh.py).
+
+Usage: multichip_scaling.py cpu|tpu [profile]
+Appends JSON lines to docs/MULTICHIP_RESULTS.jsonl.
+"""
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+mode = sys.argv[1] if len(sys.argv) > 1 else "cpu"
+profile = sys.argv[2] if len(sys.argv) > 2 else None
+
+if mode == "cpu":
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+if mode == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "docs", "MULTICHIP_RESULTS.jsonl")
+
+
+def emit(doc):
+    doc["date"] = time.strftime("%Y-%m-%d")
+    line = json.dumps(doc)
+    print(line, flush=True)
+    with open(OUT, "a") as f:
+        f.write(line + "\n")
+
+
+_COLL = re.compile(
+    r"%(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
+    r"[^=\s]*\s*=\s*([a-z0-9]+)\[([0-9,]*)\]")
+
+
+def collective_audit(compiled_text):
+    """Parse the optimized HLO: collective op -> (count, total bytes)."""
+    sizes = {"u32": 4, "s32": 4, "f32": 4, "u64": 8, "s64": 8, "f64": 8,
+             "u16": 2, "s16": 2, "bf16": 2, "u8": 1, "s8": 1, "pred": 1}
+    out = {}
+    for m in _COLL.finditer(compiled_text):
+        kind, dt, dims = m.group(1), m.group(2), m.group(3)
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        b = n * sizes.get(dt, 4)
+        c = out.setdefault(kind, [0, 0])
+        c[0] += 1
+        c[1] += b
+    return {k: {"count": v[0], "bytes": v[1]} for k, v in out.items()}
+
+
+def run_cpu():
+    from dacapo_tpu.parallel.mesh import (
+        make_mesh, BatchedEvaluator, batch_sharding, dryrun_program)
+    from dacapo_tpu.crypto.scheme import Scheme
+
+    prof = profile or "test_n10"
+    s = Scheme(prof)
+    s.generate_keys(rot_steps=(1,))
+    nl = s.ctx.config.num_q
+    n_slots = s.ctx.config.n_slots
+    rng = np.random.default_rng(0)
+
+    for nd in (1, 2, 4, 8):
+        for dp in sorted({d for d in (1, 2, 4, 8) if d <= nd and nd % d == 0}):
+            mp = nd // dp
+            if nl % mp != 0:
+                continue
+            mesh = make_mesh(nd, dp=dp)
+            be = BatchedEvaluator(s, mesh)
+            b = max(dp, 2)
+            cts = np.stack([
+                np.asarray(s.encrypt(rng.uniform(-1, 1, n_slots)).data)
+                for _ in range(b)])
+            fn, args = be.compile_step(jnp.asarray(cts), nl)
+            lowered = fn.lower(*args)
+            compiled = lowered.compile()
+            out = fn(*args)
+            out.block_until_ready()
+            audit = collective_audit(compiled.as_text())
+            per_dev_bytes = int(np.asarray(cts).nbytes // nd)
+            emit({
+                "kind": "cpu_mesh_step",
+                "profile": prof,
+                "devices": nd, "dp": dp, "mp": mp, "batch": b,
+                "ok": True,
+                "collectives": audit,
+                "ct_batch_bytes_per_dev": per_dev_bytes,
+            })
+    # the integrated program path at 8 devices (correctness)
+    res, rms = dryrun_program(8, profile=prof)
+    emit({"kind": "cpu_program_8dev", "profile": prof,
+          "batch": int(res.shape[0]), "rms": rms, "ok": True})
+
+
+def run_tpu():
+    """Single-chip batched throughput: ct-ct mult+relin+rescale per second
+    vs batch size (the dp scaling unit; chips multiply this with zero
+    cross-chip traffic — batches never communicate)."""
+    from dacapo_tpu.crypto.scheme import Scheme
+
+    prof = profile or "tpu_n15"
+    s = Scheme(prof)
+    s.generate_keys(rot_steps=(1,))
+    ev = s.ev
+    nl = s.ctx.config.num_q
+    n_slots = s.ctx.config.n_slots
+    rng = np.random.default_rng(0)
+    pk = ev.pack()
+
+    def step(a, b, rlk, pk):
+        m = ev._mul_ct(a, b, nl, rlk, pk)
+        return ev._rescale_k(m, nl, s.ctx.config.rescale_rows, pk)
+
+    for b in (1, 2, 4, 8, 16):
+        fn = jax.jit(jax.vmap(lambda x, y: step(x, y, s.keys.rlk, pk)))
+        cts = jnp.asarray(np.stack([np.stack([
+            np.asarray(s.encrypt(rng.uniform(-1, 1, n_slots)).data)
+            for _ in range(b)]) for _ in range(2)]))
+        out = fn(cts[0], cts[1])
+        jax.block_until_ready(out)
+        iters = max(3, 32 // b)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(cts[0], cts[1])
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        emit({
+            "kind": "tpu_batch_throughput",
+            "profile": prof, "batch": b, "nl": nl,
+            "ms_per_step": round(dt * 1e3, 3),
+            "mults_per_s": round(b / dt, 1),
+        })
+
+
+if mode == "cpu":
+    run_cpu()
+elif mode == "tpu":
+    run_tpu()
+else:
+    raise SystemExit(f"unknown mode {mode}")
