@@ -633,7 +633,8 @@ class HEVMExecutor:
 
         for r in ins:
             reg(r)
-        items = [tuple((reg(r), in_meta[r][0]) for r in ins)]
+        items = [tuple((reg(r), in_meta[r][0]) for r in ins),
+                 ("ptmode", self._pt_ingraph())]
         items.append(tuple(
             (self.plain_meta[r][0], r in self._fused_pt_regs)
             for r in info["plain_regs"]))
@@ -666,6 +667,38 @@ class HEVMExecutor:
         items.append(tuple(reg(r) for r in info["outs"]))
         return tuple(items)
 
+    def _pt_ingraph(self):
+        """In-graph plaintext decode: segment functions take COMPACT pool
+        records ([k, 2, N] per row-group) and run decode_plain INSIDE the
+        traced window. Removes ~dozens of host-side decode dispatches + the
+        LRU (whose cyclic access pattern made it all-miss on CNN runs) per
+        window, and reads 2 rows/mask from HBM instead of nl+alpha decoded
+        rows. Streaming mode only; opt out with DACAPO_TPU_PT_INGRAPH=0."""
+        import os
+        flag = getattr(self, "_pt_ingraph_flag", None)
+        if flag is None:
+            flag = self._pt_ingraph_flag = (
+                self._streaming
+                and os.environ.get("DACAPO_TPU_PT_INGRAPH", "1") == "1")
+        return flag
+
+    def _seg_pt_groups(self, info):
+        """The window's plaintext regs grouped by decode row tuple (cached
+        on the window info). Deterministic ordering — part of the window
+        structure (derivable from the per-reg (nl, fused) items already in
+        _seg_struct_key)."""
+        groups = info.get("pt_groups")
+        if groups is None:
+            by_rows = {}
+            for r in info["plain_regs"]:
+                rows = tuple(self._pt_rows[self._pt_cid[r]])
+                by_rows.setdefault(rows, []).append(r)
+            groups = info["pt_groups"] = sorted(by_rows.items())
+            info["pt_group_cids"] = [
+                np.asarray([self._pt_cid[r] for r in regs])
+                for _, regs in groups]
+        return groups
+
     def _seg_fn(self, wi, info, in_meta):
         """Build (cached) the jitted function for this window's STRUCTURE
         at this input metadata (structurally identical windows share it)."""
@@ -680,12 +713,21 @@ class HEVMExecutor:
         rot_steps = list(info["rot_steps"])
         perm_ix = {st: i for i, st in enumerate(rot_steps)}
         meta0 = dict(in_meta)   # captured: metadata is input-independent
+        ingraph = self._pt_ingraph()
+        groups = self._seg_pt_groups(info) if ingraph else None
 
         def f(in_cts, plains_l, gks_l, perms_arr, rlk, pk):
             with self.ev.use_pack(pk):
                 ciphers = dict(zip(ins, in_cts))
                 meta = dict(meta0)
-                plain_by_reg = dict(zip(plain_regs, plains_l))
+                if ingraph:
+                    plain_by_reg = {}
+                    for (rows, regs), blk in zip(groups, plains_l):
+                        dec = self.ev._decode_plain(blk, rows, pk)
+                        for i, r in enumerate(regs):
+                            plain_by_reg[r] = dec[i]
+                else:
+                    plain_by_reg = dict(zip(plain_regs, plains_l))
                 gk_by_step = dict(zip(rot_steps, gks_l))
 
                 def getperm(steps):
@@ -702,6 +744,15 @@ class HEVMExecutor:
 
         fn = self._seg_fns[key] = jax.jit(f)
         return fn
+
+    def _seg_plains_arg(self, info):
+        """The plaintext argument list for one window call: compact pool
+        blocks (in-graph mode) or decoded device planes (legacy)."""
+        if self._pt_ingraph():
+            self._seg_pt_groups(info)
+            return [self._pt_pool[idx] for idx in info["pt_group_cids"]]
+        self._plain_prefetch(info["plain_regs"])
+        return [self._plain(self.plains, r, None) for r in info["plain_regs"]]
 
     def precompile_segments(self, arg_meta=None, max_workers=None):
         """Compile every distinct segment-window structure BEFORE the first
@@ -746,9 +797,13 @@ class HEVMExecutor:
             fn = self._seg_fn(wi, info, in_meta)
             in_cts = [jax.ShapeDtypeStruct((2, in_meta[r][0], n), u32)
                       for r in info["ins"]]
-            plains_l = [jax.ShapeDtypeStruct(
-                (len(self._pt_rows[self._pt_cid[r]]), n), u32)
-                for r in info["plain_regs"]]
+            if self._pt_ingraph():
+                plains_l = [jax.ShapeDtypeStruct((len(regs), 2, n), u32)
+                            for _, regs in self._seg_pt_groups(info)]
+            else:
+                plains_l = [jax.ShapeDtypeStruct(
+                    (len(self._pt_rows[self._pt_cid[r]]), n), u32)
+                    for r in info["plain_regs"]]
             gks_l = [rlk_sds] * len(info["rot_steps"])
             perms = jnp.asarray(info["rot_steps"], dtype=jnp.int32)
             lowered.append(
@@ -849,8 +904,7 @@ class HEVMExecutor:
             in_meta = {r: meta[r] for r in info["ins"]}
             fn = self._seg_fn(wi, info, in_meta)
             in_cts = [ciphers[r] for r in info["ins"]]
-            self._plain_prefetch(info["plain_regs"])
-            plains_l = [self._plain(self.plains, r, None) for r in info["plain_regs"]]
+            plains_l = self._seg_plains_arg(info)
             gks_l = [self.s.keys.galois[st] for st in info["rot_steps"]]
             perms_arr = jnp.asarray(info["rot_steps"], dtype=jnp.int32)
             out_cts = fn(in_cts, plains_l, gks_l, perms_arr, rlk, pk)
