@@ -61,6 +61,97 @@ class EmulatedBootstrapper:
         self.s = scheme
         assert scheme.keys is not None and scheme.keys.s_ntt is not None, \
             "emulated bootstrapping needs the secret key (full VM mode)"
+        self._jits = {}
+        self._seed = np.random.SeedSequence(0xB007).generate_state(1)[0]
+
+    def _plan(self, nl, scale, target_level):
+        """Static cooling plan for (nl, scale): returns (n_drop, K, nl2)."""
+        ctx = self.s.ctx
+        nl2 = (target_level + 1) * ctx.config.rescale_rows
+        limit = np.log2(float(ctx.q_primes[0]) * float(ctx.q_primes[1])) - 1
+        K, n_drop, nlc, sc = 1, 0, nl, scale
+        while nlc > 2 and np.log2(sc) + _LIFT_VMAX_BITS > limit:
+            K *= int(ctx.q_primes[nlc - 1])
+            sc /= float(ctx.q_primes[nlc - 1])
+            nlc -= 1
+            n_drop += 1
+        return n_drop, K, nl2
+
+    def _oracle_fn(self, nl, n_drop, K, nl2, batch):
+        """ONE jitted dispatch for the whole oracle refresh (cool -> decrypt
+        at the bottom pair -> exact CRT lift -> reheat -> fresh encrypt),
+        with the encryption randomness generated ON DEVICE (jax.random) —
+        replaces ~30 eager dispatches + ~11 MB of host->device randomness
+        uploads per bootstrap (measured 0.24 s each on the tunneled chip).
+        Cache key: (nl, n_drop, K, nl2, batch)."""
+        key = (nl, n_drop, K, nl2, batch)
+        fn = self._jits.get(key)
+        if fn is not None:
+            return fn
+        import jax
+        s = self.s
+        ev = s.ev
+        ctx = s.ctx
+        from .modmath import add_mod, mul_mod
+        from .crt_lift import pair_crt_expand
+        n = ctx.n
+        rows2 = list(range(nl2))
+        qs2 = np.array([int(ctx.q_primes[i]) for i in range(nl2)], np.int64)
+
+        qr32 = jnp.asarray(qs2.astype(np.int32))
+
+        def residues_of_small(x):
+            """Signed small ints [N] -> uint32 residue planes [nl2, N].
+            numpy %-semantics (sign of divisor) keep results in [0, q)."""
+            return (x[None, :] % qr32[:, None]).astype(jnp.uint32)
+
+        def one(data, s_ntt, pk_enc, rngkey, pk):
+            nlc = nl
+            for _ in range(n_drop):
+                data = ev._rescale_k(data, nlc, 1, pk)
+                nlc -= 1
+            nb = 2
+            rows = [0, 1]
+            qq = ev._mm_consts(rows)
+            m_ntt = add_mod(data[0, :nb], mul_mod(data[1, :nb],
+                                                  s_ntt[:nb], *qq), qq[0])
+            c = ev._ntt(m_ntt, rows, pk, inverse=True)
+            lifted = pair_crt_expand(ctx, c[0], c[1], nl2)
+            if K != 1:
+                lifted = _reheat(ctx, lifted, nl2, K)
+            m2 = ev._ntt(lifted, rows2, pk)
+
+            k1, k2, k3 = jax.random.split(rngkey, 3)
+            v = jax.random.randint(k1, (n,), -1, 2, dtype=jnp.int32)
+            e0 = jnp.round(jax.random.normal(k2, (n,)) * 3.2).astype(jnp.int32)
+            e1 = jnp.round(jax.random.normal(k3, (n,)) * 3.2).astype(jnp.int32)
+            vp = ev._ntt(residues_of_small(v), rows2, pk)
+            e0p = ev._ntt(residues_of_small(e0), rows2, pk)
+            e1p = ev._ntt(residues_of_small(e1), rows2, pk)
+            qq2 = ev._mm_consts(rows2)
+            q2 = qq2[0]
+            c0 = add_mod(add_mod(mul_mod(vp, pk_enc[0], *qq2), e0p, q2), m2, q2)
+            c1 = add_mod(mul_mod(vp, pk_enc[1], *qq2), e1p, q2)
+            return jnp.stack([c0, c1])
+
+        if batch:
+            def f(data_b, s_ntt, pk_enc, rngkey, pk):
+                with ev.use_pack(pk):
+                    keys = jax.random.split(rngkey, data_b.shape[0])
+                    return jax.vmap(
+                        lambda d, k: one(d, s_ntt, pk_enc, k, pk))(data_b, keys)
+        else:
+            def f(data, s_ntt, pk_enc, rngkey, pk):
+                with ev.use_pack(pk):
+                    return one(data, s_ntt, pk_enc, rngkey, pk)
+        import jax as _jax
+        fn = self._jits[key] = _jax.jit(f)
+        return fn
+
+    def _next_key(self):
+        import jax
+        self._seed += 1
+        return jax.random.PRNGKey(self._seed)
 
     def bootstrap(self, data, nl, scale, target_level):
         """Decrypt -> re-encrypt ENTIRELY ON DEVICE: m = c0 + c1*s in the
@@ -71,6 +162,14 @@ class EmulatedBootstrapper:
         ResNet run; this keeps the bootstrap asynchronous like every other
         op. (Still the insecure oracle: the server holds s, exactly like
         the reference SEAL build, SEAL_HEVM.cpp:324-334.)"""
+        import os
+        if nl >= 2 and os.environ.get("DACAPO_TPU_ORACLE_JIT", "1") == "1":
+            s = self.s
+            n_drop, K, nl2 = self._plan(nl, scale, target_level)
+            fn = self._oracle_fn(nl, n_drop, K, nl2, batch=False)
+            out = fn(jnp.asarray(data)[:, :nl, :], s.keys.s_ntt,
+                     s.keys.pk[:, :nl2, :], self._next_key(), s.ev.pack())
+            return out, (nl2, scale)
         from .modmath import add_mod, mul_mod
         from .crt_lift import pair_crt_expand, single_crt_expand
         s = self.s
@@ -109,6 +208,15 @@ class EmulatedBootstrapper:
     def bootstrap_batch(self, data, nl, scale, target_level):
         """Batched device oracle: data [B, 2, nl, N], one dispatch chain for
         the whole batch (no per-row host trips)."""
+        import os
+        if nl >= 2 and os.environ.get("DACAPO_TPU_ORACLE_JIT", "1") == "1":
+            s = self.s
+            n_drop, K, nl2 = self._plan(nl, scale, target_level)
+            fn = self._oracle_fn(nl, n_drop, K, nl2,
+                                 batch=int(jnp.asarray(data).shape[0]))
+            out = fn(jnp.asarray(data)[:, :, :nl, :], s.keys.s_ntt,
+                     s.keys.pk[:, :nl2, :], self._next_key(), s.ev.pack())
+            return out, (nl2, scale)
         from .modmath import add_mod, mul_mod
         from .crt_lift import pair_crt_expand, single_crt_expand
         s = self.s

@@ -228,21 +228,27 @@ class Encoder:
             for j in range(k):
                 inv = inv * pow(primes[j], -1, qk) % qk
             digits[k] = (x[k] - acc) % qk * inv % qk
-        # sign from the float estimate, then a cancellation-free combine:
+        # sign from the TOP mixed-radix digit (0 for small positive values,
+        # q-1 for small negative ones), then a cancellation-free combine:
         # negative values use the mixed-radix complement Q - v (digits
         # q_k-1-a_k, +1), so each branch sums ONLY small-magnitude terms.
+        # Q may exceed float64 range (nl >= 35 at 30-bit primes): w saturates
+        # to inf, and `0 * inf = nan` is avoided by masking zero digits —
+        # a value whose high digits are genuinely nonzero there IS out of
+        # float64 range and correctly decodes to +-inf.
+        neg = digits[nl - 1] > (primes[nl - 1] - 1) // 2
         val = np.zeros(planes.shape[-1])
+        comp = np.zeros(planes.shape[-1])
         w = 1.0
-        for k in range(nl):
-            val += digits[k].astype(np.float64) * w
-            w *= float(primes[k])
-        bigq = w
-        neg = val > bigq / 2
-        if np.any(neg):
-            comp = np.zeros(planes.shape[-1])
-            w = 1.0
+        with np.errstate(over="ignore", invalid="ignore"):
             for k in range(nl):
-                comp += (primes[k] - 1 - digits[k]).astype(np.float64) * w
-                w *= float(primes[k])
-            val = np.where(neg, -(comp + 1.0), val)
-        return val
+                a = digits[k].astype(np.float64)
+                b = (primes[k] - 1 - digits[k]).astype(np.float64)
+                if np.isinf(w):
+                    val += np.where(a == 0.0, 0.0, np.inf)
+                    comp += np.where(b == 0.0, 0.0, np.inf)
+                else:
+                    val += a * w
+                    comp += b * w
+                    w *= float(primes[k])
+        return np.where(neg, -(comp + 1.0), val)

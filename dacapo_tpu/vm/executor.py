@@ -807,9 +807,26 @@ class HEVMExecutor:
             gks_l = [rlk_sds] * len(info["rot_steps"])
             perms = jnp.asarray(info["rot_steps"], dtype=jnp.int32)
             lowered.append(
-                fn.lower(in_cts, plains_l, gks_l, perms, rlk_sds, pk))
+                (wi, fn.lower(in_cts, plains_l, gks_l, perms, rlk_sds, pk)))
+
+        import sys
+        import time as _t
+        times = {}
+
+        def _compile(job):
+            wi, lo = job
+            t0 = _t.perf_counter()
+            lo.compile()
+            times[wi] = _t.perf_counter() - t0
+
         with cf.ThreadPoolExecutor(max_workers or min(8, len(lowered))) as pool:
-            list(pool.map(lambda lo: lo.compile(), lowered))
+            list(pool.map(_compile, lowered))
+        if times:
+            ts = sorted(times.values())
+            print(f"[precompile] {len(ts)} structs: per-compile "
+                  f"min {ts[0]:.1f}s median {ts[len(ts)//2]:.1f}s "
+                  f"max {ts[-1]:.1f}s sum {sum(ts):.1f}s "
+                  f"(threaded wall is lower)", file=sys.stderr, flush=True)
         return len(lowered)
 
     @staticmethod
