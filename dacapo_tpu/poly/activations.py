@@ -127,12 +127,16 @@ def genRelu6(b):
 _silu_polys = {}
 
 
-def silu_half_poly(length=16, bb=32.0, degree=95):
+def silu_half_poly(length=16, bb=32.0, degree=127):
     """Odd Chebyshev fit of sigmoid(bb*x) - 0.5 on [-1, 1].
 
-    Matches the reference's coeffStr.txt data (degree-95 series whose odd
-    coefficients fit the slot-domain sigmoid at block scale bb=32: the whole
-    model runs on x/bb, so HE_SiLU(u) = u*(sigma(bb*u)-0.5+0.5) = silu(bb*u)/bb).
+    The reference's coeffStr.txt data is a degree-95 series fitting the
+    slot-domain sigmoid at block scale bb=32 (the whole model runs on x/bb,
+    so HE_SiLU(u) = u*(sigma(bb*u)-0.5+0.5) = silu(bb*u)/bb). We default to
+    degree 127: the BSGS top divisor (64) and hence the multiplicative depth
+    (14) are IDENTICAL to degree 95, but the trained-checkpoint ResNet plain
+    RMS drops 1.23e-3 -> 2.99e-5 (measured, scripts/trained_plain_probe.py)
+    — the reference's 95 leaves the SiLU fit as the dominant error term.
     `length` is the BSGS baby count (reference GenPoly degree=16).
     """
     key = (length, float(bb), degree)
