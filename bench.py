@@ -6,6 +6,12 @@ Baseline: the reference's profiled SEAL-CPU ct-ct multiply at top level,
 N=2^15 Delta=2^60) -> 6.22 mult/s. We run the same-scale parity profile
 (tpu_n15: N=2^15, L=14 RNS primes) on one TPU chip.
 
+NOTE r5: rounds 1-4 reported dispatch rate, not compute rate —
+jax.block_until_ready on the tunneled axon backend returns before the
+device finishes (see time_op). BENCH_r01..r04 values (13k-45k mult/s) are
+therefore NOT comparable with r5+; the honest chained+downloaded number is
+~10-50x lower and matches the end-to-end run attribution.
+
 Extra per-op timings (rotate, rescale, add) go to stderr for the record.
 """
 
@@ -20,21 +26,34 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_op(fn, *args, iters=20, warmup=3, reps=1):
-    """Best-of-`reps` timing batches: the tunneled backend adds multi-ms
-    jitter spikes (r3->r4 headline drifted 20.3k->19.1k mult/s on a 0.05 ms
-    op from a single-batch measurement); min over batches is the stable
-    hardware number."""
+def time_op(fn, *args, iters=20, warmup=3, reps=1, chain=0):
+    """HONEST timing: rounds 1-4 timed with `jax.block_until_ready`, which
+    on the tunneled axon backend returns BEFORE device completion (measured
+    r5: 50 enqueued muls "completed" in 1.9 ms, then the result download
+    took 4.7 s — the actual compute). Every historical BENCH_r* throughput
+    was therefore dispatch rate, not compute rate. This version forces a
+    RESULT DOWNLOAD after the timed batch (downloads cannot outrun the
+    data), and chains ops through a data dependency (`chain`: index of the
+    argument to thread the output into) so iterations cannot overlap."""
     import jax
-    for _ in range(warmup):
+
+    def sync(out):
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(leaf).ravel()[:1]
+
+    out = fn(*args)
+    for _ in range(warmup - 1):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
+        a = list(args)
         for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
+            out = fn(*a)
+            if chain is not None:
+                a[chain] = out if out.shape == a[chain].shape else a[chain]
+        sync(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 

@@ -265,19 +265,32 @@ class Evaluator:
         q = self._q(range(nl))
         return mul_mod_shoup(ct, c, cs, q)
 
-    def upscale(self, ct, nl, up_bits: int):
-        """Exact multiply by 2^up_bits. The per-row constants are passed as
-        arguments so ONE compiled signature per level serves every factor."""
+    def scalar_rows(self, k: int, nl: int):
+        """Host (residue, shoup) u32 arrays [2, nl] of an arbitrary integer
+        multiplier K against the bottom nl q-rows — the argument form of
+        upscale_res/upscale_rescale_res. K need not be a power of two: the
+        scale-steering pass (vm/steer.py) uses K = round(2^(u+x)*correction)
+        to re-anchor composite-rescale drift."""
         from .modmath import host_shoup
-        vals = [pow(2, up_bits, q) for q in self.ctx.q_primes[:nl]]
+        vals = [k % q for q in self.ctx.q_primes[:nl]]
         sh = [host_shoup(v, q) for v, q in zip(vals, self.ctx.q_primes[:nl])]
-        c = _c(np.array(vals, np.uint32))[:, None]
-        cs = _c(np.array(sh, np.uint32))[:, None]
+        return np.stack([np.array(vals, np.uint32), np.array(sh, np.uint32)])
+
+    def upscale_res(self, ct, nl, ccs):
+        """Multiply by a per-row scalar passed as a [2, nl] (residue, shoup)
+        argument — one compiled signature per level serves every factor,
+        including inside traced segment windows (the constants ride as
+        arguments, never baked into the HLO)."""
         return self._jit(
             ("upscale", nl),
-            lambda: lambda x, cc, ss, p: mul_mod_shoup(
-                x, cc, ss, self._pkq(p, range(nl))),
-        )(ct, c, cs, self.pack())
+            lambda: lambda x, cc, p: mul_mod_shoup(
+                x, cc[0][:, None], cc[1][:, None],
+                self._pkq(p, range(nl))),
+        )(ct, ccs, self.pack())
+
+    def upscale(self, ct, nl, up_bits: int):
+        """Exact multiply by 2^up_bits (argument-passed constants)."""
+        return self.upscale_res(ct, nl, _c(self.scalar_rows(1 << up_bits, nl)))
 
     # ------------------------------------------- compact plaintext decode
     def decode_plain(self, lohi, rows):
@@ -326,19 +339,21 @@ class Evaluator:
         out = self._ntt(flat, list(rows) * b, pk)
         return out.reshape(b, nrows, lohi.shape[-1])
 
-    def upscale_rescale(self, ct, nl, up_bits: int, k: int):
-        """Fused exact multiply by 2^up_bits followed by a k-row rescale —
-        the PARS scale-alignment idiom, one launch instead of two."""
-        from .modmath import host_shoup
-        vals = [pow(2, up_bits, q) for q in self.ctx.q_primes[:nl]]
-        sh = [host_shoup(v, q) for v, q in zip(vals, self.ctx.q_primes[:nl])]
-        c = _c(np.array(vals, np.uint32))[:, None]
-        cs = _c(np.array(sh, np.uint32))[:, None]
+    def upscale_rescale_res(self, ct, nl, ccs, k: int):
+        """Fused scalar multiply ([2, nl] argument, see upscale_res)
+        followed by a k-row rescale — the PARS scale-alignment idiom, one
+        launch instead of two."""
         return self._jit(
             ("uprescale", nl, k),
-            lambda: lambda x, cc, ss, p: self._rescale_k(
-                mul_mod_shoup(x, cc, ss, self._pkq(p, range(nl))), nl, k, p),
-        )(ct, c, cs, self.pack())
+            lambda: lambda x, cc, p: self._rescale_k(
+                mul_mod_shoup(x, cc[0][:, None], cc[1][:, None],
+                              self._pkq(p, range(nl))), nl, k, p),
+        )(ct, ccs, self.pack())
+
+    def upscale_rescale(self, ct, nl, up_bits: int, k: int):
+        """Fused exact multiply by 2^up_bits + k-row rescale."""
+        return self.upscale_rescale_res(
+            ct, nl, _c(self.scalar_rows(1 << up_bits, nl)), k)
 
     def mod_drop(self, ct, k: int):
         """modswitch by k levels = drop the top k RNS rows (SEAL semantics)."""

@@ -115,35 +115,62 @@ class HEVMExecutor:
         (privatized constants make CNN masks repeat thousands of times);
         (b) device NTTs are batched per level; (c) if the unique set exceeds
         the device budget, encoded planes stay in host RAM and an LRU window
-        of the hottest ones is device-resident (streaming mode)."""
+        of the hottest ones is device-resident (streaming mode); (d) scale
+        STEERING (vm/steer.py): plaintexts encode at solver-chosen real
+        scales and upscales become integer-K multiplies, so forced-scale
+        adds see exactly matching operands despite composite prime-pair
+        drift (flagship sim RMS 1.85e-2 -> 2.1e-4). Opt out with
+        DACAPO_TPU_STEER=0."""
         import hashlib
+        import os
 
         enc = self.s.encoder
         ctx = self.s.ctx
         alpha = ctx.config.alpha
-        uniq = {}          # (rhs, payload digest) -> cid
+        self._steer = None
+        self._steer_res, self._steer_kf = {}, {}
+        if os.environ.get("DACAPO_TPU_STEER", "1") == "1":
+            from .steer import steer_scales
+            st = self._steer = steer_scales(
+                self.prog, [int(q) for q in ctx.q_primes], self.rr,
+                ctx.config.prime_bits)
+            nq = ctx.config.num_q
+            for opi, (k, _nl) in st.up_k.items():
+                self._steer_res[opi] = self.ev.scalar_rows(k, nq)
+                self._steer_kf[opi] = float(k)
+            if st.forced or st.conflicts:
+                import sys
+                worst = max(map(abs, st.forced.values()), default=0.0)
+                print(f"[steer] {len(st.forced)} forced adds "
+                      f"(worst dlog2 {worst:.2e}), "
+                      f"{len(st.conflicts)} encode conflicts",
+                      file=sys.stderr, flush=True)
+        uniq = {}          # (rhs, payload digest, scale) -> cid
         cid_info = []      # cid -> (data, nl, scale)
         cid_regs = []      # cid -> [dst regs]
-        for op in self.prog.ops:
+        for opi, op in enumerate(self.prog.ops):
             if op.opcode != OP_ENCODE:
                 continue
             level = op.rhs >> 10
             scale = op.rhs & 0x3FF
             nl = (level + 1) * self.rr
+            sc = float(2.0 ** scale)
+            if self._steer is not None:
+                sc = self._steer.enc_scale.get(opi, sc)
             if op.lhs == 0xFFFF:
                 data = np.ones(1)
-                key = (op.rhs, b"ones")
+                key = (op.rhs, b"ones", sc)
             else:
                 data = np.ascontiguousarray(self.constants[op.lhs])
-                key = (op.rhs, hashlib.sha1(data.tobytes()).digest())
+                key = (op.rhs, hashlib.sha1(data.tobytes()).digest(), sc)
             cid = uniq.get(key)
             if cid is None:
                 cid = uniq[key] = len(cid_info)
-                cid_info.append((data, nl, float(2.0 ** scale)))
+                cid_info.append((data, nl, sc))
                 cid_regs.append([])
             cid_regs[cid].append(op.dst)
             self._pt_cid[op.dst] = cid
-            self.plain_meta[op.dst] = (nl, float(2.0 ** scale))
+            self.plain_meta[op.dst] = (nl, sc)
 
         # plaintexts feeding fused rot-mac banks need the extended Q^{(nl)}P
         # basis (lazy-ModDown masks): extra `alpha` special-prime rows
@@ -288,7 +315,7 @@ class HEVMExecutor:
 
     # ------------------------------------------------------------ dispatch
     def _exec_stream(self, ops, ciphers, meta, getplain, getgk, getperm,
-                     rlk, out_regs, prefetch=None):
+                     rlk, out_regs, prefetch=None, getuk=None):
         """Interpret an instruction window over JAX values (eager arrays or
         tracers — the same code serves per-op dispatch, whole-program jit and
         per-segment jit). Mutates `ciphers`/`meta` dicts; returns the arrays
@@ -301,6 +328,8 @@ class HEVMExecutor:
         always safe regardless of register reuse.
         """
         ev = self.ev
+        if getuk is None:
+            getuk = self._getuk_eager
 
         # pending rotation banks: bank = {"src", "nl", "entries": [(dst, steps)]}
         banks_by_src = {}      # (id(src_array), nl) -> bank
@@ -444,13 +473,14 @@ class HEVMExecutor:
                 meta[op.dst] = (nl - op.rhs * self.rr, sc)
             elif oc == OP_UPSCALE:
                 nl, sc = meta[op.lhs]
-                ciphers[op.dst] = ev.upscale(ciphers[op.lhs], nl, op.rhs)
-                meta[op.dst] = (nl, sc * (2.0 ** op.rhs))
+                ciphers[op.dst] = ev.upscale_res(
+                    ciphers[op.lhs], nl, getuk(op)[:, :nl])
+                meta[op.dst] = (nl, sc * self._upk(op))
             elif oc == OP_UPRESCALE:
                 nl, sc = meta[op.lhs]
-                ciphers[op.dst] = ev.upscale_rescale(
-                    ciphers[op.lhs], nl, op.up_bits, self.rr)
-                sc *= 2.0 ** op.up_bits
+                ciphers[op.dst] = ev.upscale_rescale_res(
+                    ciphers[op.lhs], nl, getuk(op)[:, :nl], self.rr)
+                sc *= self._upk(op)
                 for _ in range(self.rr):
                     sc /= self.s.ctx.q_primes[nl - 1]
                     nl -= 1
@@ -495,6 +525,47 @@ class HEVMExecutor:
             shifts = self._bank_perm_cache[steps] = jnp.asarray(
                 steps, dtype=jnp.int32)
         return shifts
+
+    # --------------------------------------------- upscale multiplier args
+    # Upscale multiplies by an integer K passed as a [2, num_q] (residue,
+    # shoup) ARGUMENT: K = 2^up_bits, or the steering pass's corrected
+    # integer (vm/steer.py). Argument-passed (never baked) so one compiled
+    # window serves structurally-equal windows with different Ks.
+    def _upk(self, op):
+        """The float multiplier of an upscale op (meta bookkeeping)."""
+        kf = getattr(self, "_steer_kf", None)
+        if kf is not None and op.orig in kf:
+            return kf[op.orig]
+        return float(2.0 ** op.rhs)
+
+    def _uk_host(self, op):
+        res = getattr(self, "_steer_res", None)
+        if res is not None and op.orig in res:
+            return res[op.orig]
+        cache = getattr(self, "_uk_p2_cache", None)
+        if cache is None:
+            cache = self._uk_p2_cache = {}
+        arr = cache.get(op.rhs)
+        if arr is None:
+            arr = cache[op.rhs] = self.ev.scalar_rows(
+                1 << op.rhs, self.s.ctx.config.num_q)
+        return arr
+
+    def _getuk_eager(self, op):
+        cache = getattr(self, "_uk_dev_cache", None)
+        if cache is None:
+            cache = self._uk_dev_cache = {}
+        key = op.orig if op.orig in getattr(self, "_steer_res", {}) \
+            else ("p2", op.rhs)
+        arr = cache.get(key)
+        if arr is None:
+            arr = cache[key] = jnp.asarray(self._uk_host(op))
+        return arr
+
+    def _seg_uks_arg(self, info):
+        """Per-window upscale-multiplier argument list (window op order)."""
+        return [self._getuk_eager(op) for op in info["ops"]
+                if op.opcode in (OP_UPSCALE, OP_UPRESCALE)]
 
     def _run_trace(self, arg_cts, plains):
         """Full-program interpretation (eager per-op dispatch, or traced as
@@ -716,7 +787,10 @@ class HEVMExecutor:
         ingraph = self._pt_ingraph()
         groups = self._seg_pt_groups(info) if ingraph else None
 
-        def f(in_cts, plains_l, gks_l, perms_arr, rlk, pk):
+        ups_ops = [op for op in ops
+                   if op.opcode in (OP_UPSCALE, OP_UPRESCALE)]
+
+        def f(in_cts, plains_l, gks_l, perms_arr, uks_l, rlk, pk):
             with self.ev.use_pack(pk):
                 ciphers = dict(zip(ins, in_cts))
                 meta = dict(meta0)
@@ -729,6 +803,7 @@ class HEVMExecutor:
                 else:
                     plain_by_reg = dict(zip(plain_regs, plains_l))
                 gk_by_step = dict(zip(rot_steps, gks_l))
+                uk_by_op = {id(o): a for o, a in zip(ups_ops, uks_l)}
 
                 def getperm(steps):
                     idx = np.asarray([perm_ix[st] for st in steps], np.int32)
@@ -740,6 +815,7 @@ class HEVMExecutor:
                     getgk=lambda st: gk_by_step[st],
                     getperm=getperm,
                     rlk=rlk, out_regs=outs,
+                    getuk=lambda o: uk_by_op[id(o)],
                 )
 
         fn = self._seg_fns[key] = jax.jit(f)
@@ -806,8 +882,13 @@ class HEVMExecutor:
                     for r in info["plain_regs"]]
             gks_l = [rlk_sds] * len(info["rot_steps"])
             perms = jnp.asarray(info["rot_steps"], dtype=jnp.int32)
+            uk_sds = jax.ShapeDtypeStruct((2, self.s.ctx.config.num_q), u32)
+            uks_l = [uk_sds] * sum(
+                1 for op in info["ops"]
+                if op.opcode in (OP_UPSCALE, OP_UPRESCALE))
             lowered.append(
-                (wi, fn.lower(in_cts, plains_l, gks_l, perms, rlk_sds, pk)))
+                (wi, fn.lower(in_cts, plains_l, gks_l, perms, uks_l,
+                              rlk_sds, pk)))
 
         import sys
         import time as _t
@@ -924,7 +1005,8 @@ class HEVMExecutor:
             plains_l = self._seg_plains_arg(info)
             gks_l = [self.s.keys.galois[st] for st in info["rot_steps"]]
             perms_arr = jnp.asarray(info["rot_steps"], dtype=jnp.int32)
-            out_cts = fn(in_cts, plains_l, gks_l, perms_arr, rlk, pk)
+            uks_l = self._seg_uks_arg(info)
+            out_cts = fn(in_cts, plains_l, gks_l, perms_arr, uks_l, rlk, pk)
             # host-side metadata walk for the window
             for op in info["ops"]:
                 self._meta_step(op, meta)
@@ -967,12 +1049,16 @@ class HEVMExecutor:
         perm_ix = {st: i for i, st in enumerate(rot_steps)}
         meta0 = dict(in_meta)
 
-        def f(in_cts, plains_l, gks_l, perms_arr, rlk, pk):
+        ups_ops = [op for op in ops
+                   if op.opcode in (OP_UPSCALE, OP_UPRESCALE)]
+
+        def f(in_cts, plains_l, gks_l, perms_arr, uks_l, rlk, pk):
             with self.ev.use_pack(pk):
                 ciphers = dict(zip(ins, in_cts))
                 meta = dict(meta0)
                 plain_by_reg = dict(zip(plain_regs, plains_l))
                 gk_by_step = dict(zip(rot_steps, gks_l))
+                uk_by_op = {id(o): a for o, a in zip(ups_ops, uks_l)}
 
                 def getperm(steps):
                     idx = np.asarray([perm_ix[st] for st in steps], np.int32)
@@ -984,9 +1070,10 @@ class HEVMExecutor:
                     getgk=lambda st: gk_by_step[st],
                     getperm=getperm,
                     rlk=rlk, out_regs=outs,
+                    getuk=lambda o: uk_by_op[id(o)],
                 )
 
-        fb = jax.vmap(f, in_axes=(0, None, None, None, None, None))
+        fb = jax.vmap(f, in_axes=(0, None, None, None, None, None, None))
         fn = self._seg_fns_batch[key] = jax.jit(fb)
         return fn
 
@@ -1053,7 +1140,8 @@ class HEVMExecutor:
                         for r in info["plain_regs"]]
             gks_l = [put_key(self.s.keys.galois[st]) for st in info["rot_steps"]]
             perms_arr = put_rep(jnp.asarray(info["rot_steps"], dtype=jnp.int32))
-            out_cts = fn(in_cts, plains_l, gks_l, perms_arr, rlk, pk)
+            uks_l = [put_rep(a) for a in self._seg_uks_arg(info)]
+            out_cts = fn(in_cts, plains_l, gks_l, perms_arr, uks_l, rlk, pk)
             for op in info["ops"]:
                 self._meta_step(op, meta)
             for r, v in zip(info["outs"], out_cts):
@@ -1070,7 +1158,7 @@ class HEVMExecutor:
             return
         if oc == OP_UPRESCALE:
             nl, sc = meta[op.lhs]
-            sc *= 2.0 ** op.up_bits
+            sc *= self._upk(op)
             for _ in range(self.rr):
                 sc /= self.s.ctx.q_primes[nl - 1]
                 nl -= 1
@@ -1102,7 +1190,7 @@ class HEVMExecutor:
             meta[op.dst] = (nl - op.rhs * self.rr, sc)
         elif oc == OP_UPSCALE:
             nl, sc = meta[op.lhs]
-            meta[op.dst] = (nl, sc * (2.0 ** op.rhs))
+            meta[op.dst] = (nl, sc * self._upk(op))
         elif oc == OP_ADDCC:
             meta[op.dst] = (meta[op.lhs][0], meta[op.rhs][1])
         elif oc == OP_ADDCP:

@@ -44,6 +44,7 @@ class UpRescaleOp:
     lhs: int
     dst: int
     up_bits: int
+    orig: int = -1      # on-disk index of the upscalec (steering K lookup)
 
     opcode = OP_UPRESCALE
 
@@ -278,7 +279,8 @@ def merge_upscale_rescale(ops, num_regs, res_set):
         uop = ops[u[0]]
         if uop.opcode != OP_RESCALE:
             continue
-        replace[idx] = UpRescaleOp(lhs=op.lhs, dst=uop.dst, up_bits=op.rhs)
+        replace[idx] = UpRescaleOp(lhs=op.lhs, dst=uop.dst, up_bits=op.rhs,
+                                   orig=op.orig)
         drop.add(u[0])
     if not replace:
         return ops
@@ -303,7 +305,7 @@ def ssa_expand(prog):
     remap = {i: i for i in range(prog.arg_length)}
     nxt = prog.arg_length
     out = []
-    for op in prog.ops:
+    for orig, op in enumerate(prog.ops):
         oc = op.opcode
         if oc == OP_ALLOC:
             continue
@@ -317,6 +319,6 @@ def ssa_expand(prog):
         dst = nxt
         nxt += 1
         remap[op.dst] = dst
-        out.append(type(op)(opcode=oc, dst=dst, lhs=lhs, rhs=rhs))
+        out.append(type(op)(opcode=oc, dst=dst, lhs=lhs, rhs=rhs, orig=orig))
     res_dst = [remap.get(r, r) for r in prog.res_dst]
     return out, nxt, res_dst

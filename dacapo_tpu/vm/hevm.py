@@ -38,6 +38,10 @@ class HEVMOp:
     dst: int = 0
     lhs: int = 0
     rhs: int = 0
+    # index into the on-disk op stream (set by fuse.ssa_expand) — links the
+    # runtime op back to compile-time per-op metadata (scale-steering Ks,
+    # vm/steer.py); NOT serialized.
+    orig: int = -1
 
 
 @dataclass

@@ -86,18 +86,18 @@ for wi, info in picked:
     in_cts = [jnp.asarray(rng.integers(0, 1 << 20, (2, in_meta[r][0], n),
                                        dtype=np.uint32))
               for r in info["ins"]]
-    ex._plain_prefetch(info["plain_regs"])
-    plains_l = [ex._plain(ex.plains, r, None) for r in info["plain_regs"]]
+    plains_l = ex._seg_plains_arg(info)
     gks_l = [ex.s.keys.galois[st] for st in info["rot_steps"]]
     perms_arr = jnp.asarray(info["rot_steps"], dtype=jnp.int32)
+    uks_l = ex._seg_uks_arg(info)
     t0 = time.perf_counter()
-    out = fn(in_cts, plains_l, gks_l, perms_arr, rlk, pk)
+    out = fn(in_cts, plains_l, gks_l, perms_arr, uks_l, rlk, pk)
     jax.block_until_ready(out)
     cold = time.perf_counter() - t0
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(in_cts, plains_l, gks_l, perms_arr, rlk, pk)
+        out = fn(in_cts, plains_l, gks_l, perms_arr, uks_l, rlk, pk)
     jax.block_until_ready(out)
     steady = (time.perf_counter() - t0) / iters
     print(f"w{wi}: ops={len(info['ops'])} ins={len(info['ins'])} "
@@ -112,11 +112,12 @@ if os.environ.get("PROFILE", "0") == "1" and picked:
     in_cts = [jnp.asarray(rng.integers(0, 1 << 20, (2, in_meta[r][0], n),
                                        dtype=np.uint32))
               for r in info["ins"]]
-    plains_l = [ex._plain(ex.plains, r, None) for r in info["plain_regs"]]
+    plains_l = ex._seg_plains_arg(info)
     gks_l = [ex.s.keys.galois[st] for st in info["rot_steps"]]
     perms_arr = jnp.asarray(info["rot_steps"], dtype=jnp.int32)
+    uks_l = ex._seg_uks_arg(info)
     with jax.profiler.trace("_logs/window_trace"):
         for _ in range(3):
-            out = fn(in_cts, plains_l, gks_l, perms_arr, rlk, pk)
+            out = fn(in_cts, plains_l, gks_l, perms_arr, uks_l, rlk, pk)
         jax.block_until_ready(out)
     print("trace written to _logs/window_trace", flush=True)
