@@ -98,6 +98,14 @@ PROFILES = {
     # regime with SEAL-class scale exactness.
     "tpu_n15": CKKSConfig(n=1 << 15, num_q=28, alpha=7, prime_bits=30,
                           scale_bits=40, rescale_rows=2),
+    # keyswitch-cost variant of tpu_n15: alpha=14 -> dnum=2 digit groups.
+    # Inner-product rows per keyswitch drop 4*2*(28+7)=280 -> 2*2*(28+14)=168
+    # and galois keys shrink 37->22 MiB; ModUp digit products (<=14 q-primes,
+    # ~2^420) stay under P (14 specials just below 2^31, ~2^433) so the
+    # approximate-ModUp noise bound still holds. Same q-chain as tpu_n15 ->
+    # compiled artifacts are interchangeable.
+    "tpu_n15a14": CKKSConfig(n=1 << 15, num_q=28, alpha=14, prime_bits=30,
+                             scale_bits=40, rescale_rows=2),
     # 128-bit-secure N=2^15 variant: logQP ~ 817 <= 880 (10 levels of rf=60).
     "tpu_n15_sec": CKKSConfig(n=1 << 15, num_q=20, alpha=7, prime_bits=30,
                               scale_bits=40, rescale_rows=2),
@@ -142,6 +150,7 @@ PROFILES = {
 # crypto profile name -> compiler profile json (dacapo_tpu/profiles/)
 COMPILER_PROFILES = {
     "tpu_n15": "profiled_TPU_n15",
+    "tpu_n15a14": "profiled_TPU_n15",     # same chain/levels as tpu_n15
     "tpu_n15_sec": "profiled_TPU_n15_sec",
     "tpu_n16": "profiled_TPU_n16",
     "tpu_n15b": "profiled_TPU_n15b",
