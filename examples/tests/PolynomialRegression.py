@@ -9,7 +9,10 @@ from examples.benchmarks.PolynomialRegression import trace
 
 
 def run(pipeline="pars", waterline=40, profile=None, nt=4096):
-    profile = profile or "tpu_n14"
+    # deeper than tpu_n14's 7 levels (PARS "failed to infer modswitch" =
+    # chain exhausted); the reference runs the basic list at SEAL N=2^15,
+    # 13 levels (profiled_SEAL_CPU.json) — use the parity profile
+    profile = profile or "tpu_n15"
     rng = np.random.default_rng(100)
     x = rng.uniform(-1, 1, nt)
     y = 0.5 + 1.5 * x - 0.7 * x * x + rng.uniform(-0.01, 0.01, nt)
