@@ -8,7 +8,9 @@ from examples.benchmarks.MLP import trace
 
 
 def run(pipeline="pars", waterline=40, profile=None, nt=2 ** 14):
-    profile = profile or "tpu_n14"
+    # nt=2^14 packed slots needs n_slots >= 2^14 -> N=2^15 (the reference
+    # MLP trace regime; tpu_n14 only has 2^13 slots and encode would wrap)
+    profile = profile or "tpu_n15"
     x = make_input()
     w = gen_weights()
     trace(nt=nt)

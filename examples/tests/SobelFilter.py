@@ -11,8 +11,11 @@ def run(pipeline="pars", waterline=40, profile=None, nt=4096, w=64):
     profile = profile or "tpu_n14"
     img = np.random.default_rng(100).uniform(0, 1, nt) * 0.5
     trace(nt=nt, w=w)
+    # decrypt returns the full slot vector (n_slots of the profile, e.g.
+    # 8192 at tpu_n14); the traced image occupies the first nt slots
     return run_test("SobelFilter", pipeline, waterline, profile,
-                    [img], sobel_golden(img, w=w))
+                    [img], sobel_golden(img, w=w),
+                    postprocess=lambda res: np.asarray(res)[..., :nt])
 
 
 if __name__ == "__main__":
