@@ -140,18 +140,26 @@ def run_tpu():
         m = ev._mul_ct(a, b, nl, rlk, pk)
         return ev._rescale_k(m, nl, s.ctx.config.rescale_rows, pk)
 
+    # rlk/pack ride as ARGUMENTS (baking them exceeds the remote-compile
+    # payload limit: HTTP 413), and timing chains steps through a data
+    # dependency + downloads the result (block_until_ready on the tunneled
+    # backend returns early — docs/PERF_NOTES.md)
+    fn = jax.jit(jax.vmap(step, in_axes=(0, 0, None, None)))
     for b in (1, 2, 4, 8, 16):
-        fn = jax.jit(jax.vmap(lambda x, y: step(x, y, s.keys.rlk, pk)))
         cts = jnp.asarray(np.stack([np.stack([
-            np.asarray(s.encrypt(rng.uniform(-1, 1, n_slots)).data)
+            np.asarray(s.encrypt(rng.uniform(-1, 1, n_slots),
+                                 scale=2.0 ** 60).data)
             for _ in range(b)]) for _ in range(2)]))
-        out = fn(cts[0], cts[1])
-        jax.block_until_ready(out)
+        pad = lambda o: jnp.pad(o, ((0, 0), (0, 0),
+                                    (0, s.ctx.config.rescale_rows), (0, 0)))
+        out = fn(cts[0], cts[1], s.keys.rlk, pk)
+        np.asarray(out[0, 0, 0, :1])
         iters = max(3, 32 // b)
         t0 = time.perf_counter()
+        a = cts[0]
         for _ in range(iters):
-            out = fn(cts[0], cts[1])
-        jax.block_until_ready(out)
+            a = pad(fn(a, cts[1], s.keys.rlk, pk))
+        np.asarray(a[0, 0, 0, :1])
         dt = (time.perf_counter() - t0) / iters
         emit({
             "kind": "tpu_batch_throughput",
