@@ -24,8 +24,10 @@ log(f"context: {time.time()-t0:.1f}s (N=2^{s.ctx.logn}, "
     f"{len(s.ctx.q_primes)}+{len(s.ctx.p_primes)} primes, logQP={s.ctx.logqp})")
 t0 = time.time(); s.generate_keys(); log(f"keygen: {time.time()-t0:.1f}s")
 # standalone scheme has no executor memory plan: cap device-resident galois
-# keys (the ~90 CtS/StC rotation keys at 56 QP rows would exceed HBM)
-s.set_key_budget(7 << 30)
+# keys (the ~90 CtS/StC rotation keys at 56 QP rows would exceed HBM).
+# r5: 7 GiB still hit RESOURCE_EXHAUSTED on the tunneled chip (its usable
+# HBM is below v5e spec); default tighter, override with BS_KEY_GB.
+s.set_key_budget(int(float(os.environ.get("BS_KEY_GB", "2.5")) * (1 << 30)))
 t0 = time.time()
 # radix must match the profile's chain budget (runner.py auto-config): the
 # n15b/n16 chains are sized for radix-7 CtS/StC at 2^14+ slots — radix 5
