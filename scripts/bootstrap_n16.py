@@ -50,17 +50,21 @@ t0 = time.time()
 data, (nl2, sc2) = bs.bootstrap(ct.data, ct.nl, ct.scale, target_level)
 jax.block_until_ready(data)
 log(f"bootstrap first call (incl. compiles + key gen): {time.time()-t0:.1f}s")
-
-iters = 5
-t0 = time.time()
-for _ in range(iters):
-    data, (nl2, sc2) = bs.bootstrap(ct.data, ct.nl, ct.scale, target_level)
-jax.block_until_ready(data)
-lat = (time.time() - t0) / iters
+# precision evidence BEFORE the steady loop (r5: a later key re-upload OOM
+# must not destroy the correctness datapoint)
 got = s.decrypt(Ciphertext(data, sc2))
 err = got - vals
 rms = float(np.sqrt(np.mean(err * err)))
-log(f"steady-state: {lat*1e3:.1f} ms -> level {nl2-1}, rms {rms:.3e}, "
+log(f"first-call precision: level {nl2-1}, rms {rms:.3e}, "
     f"max |err| {np.max(np.abs(err)):.3e}")
+
+iters = int(os.environ.get("BS_ITERS", "3"))
+t0 = time.time()
+out = ct.data
+for _ in range(iters):
+    data, (nl2, sc2) = bs.bootstrap(ct.data, ct.nl, ct.scale, target_level)
+np.asarray(data[0, 0, :1])       # honest sync: download beats the queue
+lat = (time.time() - t0) / iters
+log(f"steady-state: {lat*1e3:.1f} ms -> level {nl2-1}")
 print(f'{{"bootstrap_ms": {lat*1e3:.1f}, "target_level": {nl2-1}, '
       f'"rms": {rms:.3e}, "profile": "{profile}"}}')
