@@ -126,6 +126,12 @@ class HEVM:
         constants = read_cst(cst_path)
         prog = HEVMProgram.load(hevm_path)
         self.prog = prog
+        if os.environ.get("DACAPO_TPU_BOOT", "") == "native":
+            # HEaaN-class runtime: real ModRaise->CtS->EvalMod->StC bootstrap
+            # instead of the SEAL-parity decrypt/re-encrypt oracle
+            # (reference HEAAN_HEVM.cpp:386-399 vs SEAL_HEVM.cpp:324-334).
+            # Requires a bootstrappable (sparse-secret, deep-chain) profile.
+            self.scheme.enable_native_bootstrap()
         self.executor = HEVMExecutor(self.scheme, prog, constants)
         global _LAST_EXECUTOR   # profiling hooks (scripts/resnet_flagship.py)
         _LAST_EXECUTOR = self.executor
